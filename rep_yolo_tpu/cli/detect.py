@@ -1,0 +1,128 @@
+"""Detection CLI — the reference detect.py equivalent (reference
+detect.py:18-166): load weights -> fuse -> letterbox -> jitted forward +
+on-device NMS -> scale back -> save annotated images / label txts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("rep-yolo-tpu detect")
+    p.add_argument("--weights", default=None,
+                   help="checkpoint path (train state); random init if unset")
+    p.add_argument("--cfg", default="cfg/rep_yolo.yaml")
+    p.add_argument("--source", required=True, help="image file or dir")
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--conf-thres", type=float, default=0.25)
+    p.add_argument("--iou-thres", type=float, default=0.45)
+    p.add_argument("--nc", type=int, default=1)
+    p.add_argument("--save-txt", action="store_true")
+    p.add_argument("--no-fuse", action="store_true",
+                   help="run the train-mode multi-branch forward")
+    p.add_argument("--project", default="runs/detect")
+    p.add_argument("--name", default="exp")
+    return p.parse_args(argv)
+
+
+def load_model_and_vars(args):
+    from rep_yolo_tpu.models.model import RepYOLO
+    from rep_yolo_tpu.train.checkpoint import load_checkpoint
+    from rep_yolo_tpu.train.trainer import create_train_state
+
+    model = RepYOLO.from_config(args.cfg, nc=args.nc)
+    variables = model.init(jax.random.PRNGKey(0), img_size=args.img_size)
+    if args.weights:
+        state = create_train_state(variables, jax.random.PRNGKey(0))
+        state = load_checkpoint(args.weights, state)
+        variables = state.ema.variables  # EMA weights (reference detect uses
+        #                                  the stripped EMA ckpt)
+    if args.no_fuse:
+        return model, variables
+    return model.fuse(variables)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import cv2
+
+    from rep_yolo_tpu.data.augment import letterbox_batch
+    from rep_yolo_tpu.data.datasets import discover_images
+    from rep_yolo_tpu.ops.nms import non_max_suppression, detections_to_numpy
+    from rep_yolo_tpu.utils.general import check_img_size, increment_path
+
+    out_dir = increment_path(Path(args.project) / args.name)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    size = check_img_size(args.img_size, 32)
+
+    model, variables = load_model_and_vars(args)
+
+    @jax.jit
+    def run(images, hw):
+        imgs, ratio, pad = letterbox_batch(images, hw, size)
+        pred = model.predict(variables, imgs)
+        det = non_max_suppression(pred, args.conf_thres, args.iou_thres,
+                                  max_nms=1024, nc=model.cfg.nc)
+        return det, ratio, pad
+
+    src = Path(args.source)
+    files = [str(src)] if src.is_file() else discover_images(src)
+    t_sum = 0.0
+    for f in files:
+        img0 = cv2.imread(f)
+        assert img0 is not None, f"cannot read {f}"
+        rgb = cv2.cvtColor(img0, cv2.COLOR_BGR2RGB)
+        h0, w0 = rgb.shape[:2]
+        r0 = size / max(h0, w0)
+        rs = cv2.resize(rgb, (int(w0 * r0), int(h0 * r0))) if r0 != 1 else rgb
+        h, w = rs.shape[:2]
+        canvas = np.full((size, size, 3), 114, np.uint8)
+        canvas[:h, :w] = rs
+
+        t0 = time.perf_counter()
+        det, ratio, pad = run(jnp.asarray(canvas[None]),
+                              jnp.asarray([[h, w]], jnp.float32))
+        det = jax.block_until_ready(det)
+        t_sum += time.perf_counter() - t0
+        d = detections_to_numpy(det)[0]
+        r = float(np.asarray(ratio)[0])
+        pw, ph = np.asarray(pad)[0]
+        if d.shape[0]:
+            d[:, [0, 2]] = ((d[:, [0, 2]] - pw) / r / r0).clip(0, w0)
+            d[:, [1, 3]] = ((d[:, [1, 3]] - ph) / r / r0).clip(0, h0)
+
+        name = Path(f).name
+        print(f"{name}: {d.shape[0]} detections")
+        for row in d:
+            x1, y1, x2, y2, conf, cls = row
+            cv2.rectangle(img0, (int(x1), int(y1)), (int(x2), int(y2)),
+                          (0, 255, 0), 2)
+            cv2.putText(img0, f"{int(cls)} {conf:.2f}",
+                        (int(x1), int(y1) - 4), cv2.FONT_HERSHEY_SIMPLEX,
+                        0.6, (0, 255, 0), 1)
+        cv2.imwrite(str(out_dir / name), img0)
+        if args.save_txt:
+            with open(out_dir / (Path(f).stem + ".txt"), "w") as fh:
+                for row in d:
+                    x1, y1, x2, y2, conf, cls = row
+                    xc = (x1 + x2) / 2 / w0
+                    yc = (y1 + y2) / 2 / h0
+                    bw = (x2 - x1) / w0
+                    bh = (y2 - y1) / h0
+                    fh.write(f"{int(cls)} {xc:.6f} {yc:.6f} "
+                             f"{bw:.6f} {bh:.6f} {conf:.4f}\n")
+    n = max(len(files), 1)
+    print(f"done: {len(files)} images, {1000 * t_sum / n:.1f} ms/img "
+          f"(incl. first-compile). results -> {out_dir}")
+    return out_dir
+
+
+if __name__ == "__main__":
+    main()

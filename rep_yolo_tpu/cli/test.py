@@ -1,0 +1,53 @@
+"""Evaluation CLI — the reference test.py equivalent (reference
+test.py:288-352): mAP over a dataset with the eval NMS settings, plus a
+--task speed mode (fixed 0.25/0.45 thresholds, reference test.py:335-337).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("rep-yolo-tpu test")
+    p.add_argument("--weights", default=None)
+    p.add_argument("--cfg", default="cfg/rep_yolo.yaml")
+    p.add_argument("--data", required=True, help="dataset dir (YOLO layout)")
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--conf-thres", type=float, default=0.001)
+    p.add_argument("--iou-thres", type=float, default=0.65)
+    p.add_argument("--nc", type=int, default=1)
+    p.add_argument("--task", default="val", choices=["val", "test", "speed"])
+    p.add_argument("--no-fuse", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from rep_yolo_tpu.cli.detect import load_model_and_vars
+    from rep_yolo_tpu.data.datasets import DetectionDataset
+    from rep_yolo_tpu.train.evaluate import evaluate
+
+    if args.task == "speed":   # reference test.py:335-337
+        args.conf_thres, args.iou_thres = 0.25, 0.45
+
+    model, variables = load_model_and_vars(args)
+    ds = DetectionDataset.from_path(args.data, args.img_size, args.nc)
+    res = evaluate(model, variables, ds, batch_size=args.batch_size,
+                   img_size=args.img_size, conf_thres=args.conf_thres,
+                   iou_thres=args.iou_thres)
+    out = dict(P=res.mp, R=res.mr, map50=res.map50, map=res.map,
+               fitness=res.fitness,
+               ms_per_img_infer=res.speed_ms[0],
+               ms_per_img_total=res.speed_ms[1])
+    print(json.dumps(out, indent=2))
+    return res
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""Training CLI — the reference train.py equivalent (reference
+train.py:535-715 arg surface; the epoch loop maps to a jit-sharded step).
+
+Example:
+    python -m rep_yolo_tpu.cli.train --data runs/synthetic --epochs 3 \
+        --batch-size 8 --img-size 640 --cfg cfg/rep_yolo.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("rep-yolo-tpu train")
+    p.add_argument("--cfg", default="cfg/rep_yolo.yaml")
+    p.add_argument("--data", required=True,
+                   help="dataset dir (YOLO layout) or 'synthetic[:N]'")
+    p.add_argument("--val-data", default=None)
+    p.add_argument("--hyp", default="scratch.p5")
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--nc", type=int, default=1)
+    p.add_argument("--max-labels", type=int, default=120)
+    p.add_argument("--adam", action="store_true")
+    p.add_argument("--linear-lr", action="store_true")
+    p.add_argument("--no-ota", action="store_true",
+                   help="use classic ComputeLoss (the reference train.py "
+                        "step default) instead of simOTA")
+    p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--project", default="runs/train")
+    p.add_argument("--name", default="exp")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from rep_yolo_tpu.data.augment import AugmentConfig, augment_batch
+    from rep_yolo_tpu.data.datasets import (DetectionDataset, Loader,
+                                            make_synthetic_dataset)
+    from rep_yolo_tpu.models.model import RepYOLO
+    from rep_yolo_tpu.parallel.mesh import make_mesh
+    from rep_yolo_tpu.train import optim as optim_lib
+    from rep_yolo_tpu.train.checkpoint import save_checkpoint
+    from rep_yolo_tpu.train.evaluate import evaluate
+    from rep_yolo_tpu.train.hyp import load_hyp, scale_gains
+    from rep_yolo_tpu.train.loss import LossConfig
+    from rep_yolo_tpu.train.trainer import create_train_state, make_train_step
+    from rep_yolo_tpu.utils.general import increment_path
+
+    out_dir = increment_path(Path(args.project) / args.name)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "opt.json").write_text(json.dumps(vars(args), indent=2))
+
+    # data
+    if args.data.startswith("synthetic"):
+        n = int(args.data.split(":")[1]) if ":" in args.data else 64
+        ds = make_synthetic_dataset(n, args.img_size, args.nc,
+                                    args.max_labels, seed=args.seed,
+                                    root=out_dir / "synthetic")
+    else:
+        ds = DetectionDataset.from_path(args.data, args.img_size, args.nc,
+                                        args.max_labels)
+    val_ds = (DetectionDataset.from_path(args.val_data, args.img_size,
+                                         args.nc, args.max_labels)
+              if args.val_data else ds)
+    loader = Loader(ds, args.batch_size, shuffle=True, seed=args.seed)
+    nb = len(loader)
+    print(f"train: {len(ds)} images, {nb} batches/epoch")
+
+    # model
+    model = RepYOLO.from_config(args.cfg, nc=args.nc)
+    variables = model.init(jax.random.PRNGKey(args.seed),
+                           img_size=args.img_size)
+
+    # hyp / loss / optim
+    hyp = load_hyp(args.hyp)
+    ghyp = scale_gains(hyp, model.cfg.nl, model.cfg.nc, args.img_size)
+    loss_cfg = LossConfig(
+        nc=model.cfg.nc, box_gain=ghyp["box"], obj_gain=ghyp["obj"],
+        cls_gain=ghyp["cls"], cls_pw=hyp["cls_pw"], obj_pw=hyp["obj_pw"],
+        anchor_t=hyp["anchor_t"], fl_gamma=hyp["fl_gamma"],
+        label_smoothing=hyp.get("label_smoothing", 0.0))
+    opt_cfg = optim_lib.OptimConfig(
+        lr0=hyp["lr0"], lrf=hyp["lrf"], momentum=hyp["momentum"],
+        weight_decay=optim_lib.scaled_weight_decay(hyp["weight_decay"],
+                                                   args.batch_size),
+        warmup_epochs=hyp["warmup_epochs"],
+        warmup_momentum=hyp["warmup_momentum"],
+        warmup_bias_lr=hyp["warmup_bias_lr"], epochs=args.epochs, nb=nb,
+        linear_lr=args.linear_lr, adam=args.adam)
+
+    aug_cfg = AugmentConfig(
+        img_size=args.img_size, degrees=hyp["degrees"],
+        translate=hyp["translate"], scale=hyp["scale"], shear=hyp["shear"],
+        perspective=hyp["perspective"], hsv_h=hyp["hsv_h"],
+        hsv_s=hyp["hsv_s"], hsv_v=hyp["hsv_v"], flipud=hyp["flipud"],
+        fliplr=hyp["fliplr"], mosaic=hyp["mosaic"], mixup=hyp["mixup"],
+        max_labels=args.max_labels)
+    augment_fn = None if args.no_augment else (
+        lambda im, hw, lb, mk, k: augment_batch(im, hw, lb, mk, k, aug_cfg))
+
+    step_fn = make_train_step(model, loss_cfg, opt_cfg, args.img_size,
+                              use_ota=not args.no_ota, augment_fn=augment_fn)
+    step_fn = jax.jit(step_fn, donate_argnums=(0,))
+
+    state = create_train_state(variables, jax.random.PRNGKey(args.seed + 1))
+
+    best_fitness = 0.0
+    results_file = out_dir / "results.txt"
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        mloss = np.zeros(4)
+        count = 0
+        for batch in loader.epoch(epoch):
+            state, comps = step_fn(
+                state, jnp.asarray(batch["images"]),
+                jnp.asarray(batch["hw"]), jnp.asarray(batch["labels"]),
+                jnp.asarray(batch["mask"]))
+            mloss += np.asarray([float(comps[k]) for k in
+                                 ("box", "obj", "cls", "total")])
+            count += 1
+        mloss /= max(count, 1)
+        line = (f"epoch {epoch}/{args.epochs - 1} "
+                f"box {mloss[0]:.4f} obj {mloss[1]:.4f} cls {mloss[2]:.4f} "
+                f"total {mloss[3]:.4f} ({time.time() - t0:.1f}s)")
+        print(line)
+        with open(results_file, "a") as f:
+            f.write(line + "\n")
+
+        if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
+            res = evaluate(model, state.ema.variables, val_ds,
+                           batch_size=args.batch_size,
+                           img_size=args.img_size)
+            print(f"  eval: P {res.mp:.3f} R {res.mr:.3f} "
+                  f"mAP50 {res.map50:.3f} mAP {res.map:.3f}")
+            save_checkpoint(out_dir / "last", state,
+                            meta=dict(epoch=epoch, fitness=res.fitness))
+            if res.fitness > best_fitness:
+                best_fitness = res.fitness
+                save_checkpoint(out_dir / "best", state,
+                                meta=dict(epoch=epoch, fitness=res.fitness))
+    print(f"done. results in {out_dir}")
+    return out_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,212 @@
+"""Datasets: YOLO-format image/label discovery, verification cache, and
+fixed-shape batch assembly.
+
+CPU side of the pipeline (image decode + resize only — everything after
+the H2D transfer is on-device, see data/augment.py). Mirrors the
+reference's LoadImagesAndLabels discovery and label verification
+(reference utils/datasets.py:353-523) with a .cache file, but emits
+fixed-shape arrays: images are longest-side-resized to `img_size` and
+padded bottom/right; labels are padded to `max_labels` with a mask.
+
+Also provides a synthetic dataset (random colored boxes on noise) so the
+full train/eval stack is exercisable without external downloads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+IMG_FORMATS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
+
+
+def _img2label(p: str) -> str:
+    """images/... .jpg -> labels/... .txt (reference utils/datasets.py:346-349)."""
+    sa = f"{os.sep}images{os.sep}"
+    sb = f"{os.sep}labels{os.sep}"
+    stem, _ = os.path.splitext(p)
+    if sa in stem:
+        stem = stem.replace(sa, sb)
+    return stem + ".txt"
+
+
+def discover_images(path: str | Path) -> list[str]:
+    """Expand a dir / txt-list / glob into an image file list
+    (reference utils/datasets.py:365-385)."""
+    path = Path(path)
+    files: list[str] = []
+    if path.is_dir():
+        files = sorted(str(p) for p in path.rglob("*")
+                       if p.suffix.lower() in IMG_FORMATS)
+    elif path.is_file() and path.suffix == ".txt":
+        base = path.parent
+        for line in path.read_text().splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            p = Path(line)
+            files.append(str(p if p.is_absolute() else base / p))
+    else:
+        raise FileNotFoundError(f"no images at {path}")
+    return files
+
+
+def load_label_file(path: str, nc: int) -> np.ndarray:
+    """Parse one YOLO label txt -> (n,5) [cls,x,y,w,h]; verify like the
+    reference cache (reference utils/datasets.py:477-509)."""
+    if not os.path.exists(path):
+        return np.zeros((0, 5), np.float32)
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 5:
+                rows.append([float(x) for x in parts[:5]])
+    if not rows:
+        return np.zeros((0, 5), np.float32)
+    l = np.asarray(rows, np.float32)
+    assert (l >= 0).all(), f"negative labels in {path}"
+    assert (l[:, 1:] <= 1).all(), f"non-normalized coords in {path}"
+    assert (l[:, 0] < nc).all(), f"class id >= nc in {path}"
+    l = np.unique(l, axis=0) if len(l) != len(np.unique(l, axis=0)) else l
+    return l
+
+
+@dataclasses.dataclass
+class DetectionDataset:
+    """Fixed-shape detection dataset."""
+
+    img_files: list[str]
+    labels: list[np.ndarray]          # per-image (n,5) [cls,xywhn]
+    img_size: int = 640
+    max_labels: int = 120
+    nc: int = 1
+
+    @classmethod
+    def from_path(cls, path: str, img_size: int = 640, nc: int = 1,
+                  max_labels: int = 120) -> "DetectionDataset":
+        files = discover_images(path)
+        labels = [load_label_file(_img2label(f), nc) for f in files]
+        return cls(img_files=files, labels=labels, img_size=img_size,
+                   max_labels=max_labels, nc=nc)
+
+    def __len__(self) -> int:
+        return len(self.img_files)
+
+    def load_item(self, i: int):
+        """-> (img (S,S,3) uint8 padded, hw (2,), labels (M,5), mask (M,),
+        orig_shape (2,)). Resize keeps aspect (longest side = S), content at
+        top-left, pad 114 (mosaic-style load_image,
+        reference utils/datasets.py:660-680)."""
+        import cv2
+
+        S = self.img_size
+        img = cv2.imread(self.img_files[i])  # BGR
+        assert img is not None, f"image not found {self.img_files[i]}"
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        h0, w0 = img.shape[:2]
+        r = S / max(h0, w0)
+        if r != 1:
+            interp = cv2.INTER_AREA if r < 1 else cv2.INTER_LINEAR
+            img = cv2.resize(img, (int(w0 * r), int(h0 * r)),
+                             interpolation=interp)
+        h, w = img.shape[:2]
+        canvas = np.full((S, S, 3), 114, np.uint8)
+        canvas[:h, :w] = img
+
+        M = self.max_labels
+        lab = np.zeros((M, 5), np.float32)
+        mask = np.zeros((M,), bool)
+        l = self.labels[i][:M]
+        lab[: len(l)] = l
+        mask[: len(l)] = True
+        return canvas, np.asarray([h, w], np.float32), lab, mask, \
+            np.asarray([h0, w0], np.float32)
+
+
+def make_synthetic_dataset(n: int, img_size: int = 640, nc: int = 1,
+                           max_labels: int = 120, seed: int = 0,
+                           root: str | Path | None = None
+                           ) -> DetectionDataset:
+    """Random boxes-on-noise dataset written to disk (YOLO layout) so the
+    full file-based pipeline (discovery, label parse, decode) is exercised.
+    """
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    root = Path(root or Path.cwd() / "runs" / "synthetic")
+    (root / "images").mkdir(parents=True, exist_ok=True)
+    (root / "labels").mkdir(parents=True, exist_ok=True)
+    files, labels = [], []
+    for i in range(n):
+        h = int(rng.integers(img_size // 2, img_size * 3 // 2))
+        w = int(rng.integers(img_size // 2, img_size * 3 // 2))
+        img = rng.integers(0, 80, (h, w, 3), np.uint8)
+        k = int(rng.integers(1, 6))
+        rows = []
+        for _ in range(k):
+            bw = float(rng.uniform(0.08, 0.4))
+            bh = float(rng.uniform(0.08, 0.4))
+            xc = float(rng.uniform(bw / 2, 1 - bw / 2))
+            yc = float(rng.uniform(bh / 2, 1 - bh / 2))
+            c = int(rng.integers(0, nc))
+            x1 = int((xc - bw / 2) * w)
+            y1 = int((yc - bh / 2) * h)
+            x2 = int((xc + bw / 2) * w)
+            y2 = int((yc + bh / 2) * h)
+            color = tuple(int(v) for v in rng.integers(150, 255, 3))
+            img[y1:y2, x1:x2] = color
+            rows.append((c, xc, yc, bw, bh))
+        fp = root / "images" / f"{i:05d}.jpg"
+        cv2.imwrite(str(fp), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        (root / "labels" / f"{i:05d}.txt").write_text(
+            "\n".join(f"{c} {x:.6f} {y:.6f} {bw:.6f} {bh:.6f}"
+                      for c, x, y, bw, bh in rows))
+        files.append(str(fp))
+        labels.append(np.asarray(rows, np.float32))
+    return DetectionDataset(img_files=files, labels=labels,
+                            img_size=img_size, max_labels=max_labels, nc=nc)
+
+
+class Loader:
+    """Simple epoch loader: shuffles, assembles fixed-shape numpy batches.
+    (Per-host sharding for multi-host: pass shard_index/num_shards.)"""
+
+    def __init__(self, ds: DetectionDataset, batch_size: int,
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True,
+                 shard_index: int = 0, num_shards: int = 1):
+        self.ds = ds
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+
+    def __len__(self) -> int:
+        n = len(self.ds) // self.num_shards
+        return n // self.bs if self.drop_last else -(-n // self.bs)
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(idx)
+        idx = idx[self.shard_index::self.num_shards]
+        nb = len(idx) // self.bs if self.drop_last else -(-len(idx) // self.bs)
+        for b in range(nb):
+            sel = idx[b * self.bs:(b + 1) * self.bs]
+            items = [self.ds.load_item(i) for i in sel]
+            yield dict(
+                images=np.stack([it[0] for it in items]),
+                hw=np.stack([it[1] for it in items]),
+                labels=np.stack([it[2] for it in items]),
+                mask=np.stack([it[3] for it in items]),
+                orig_shapes=np.stack([it[4] for it in items]),
+                indices=sel,
+            )

@@ -1,0 +1,160 @@
+"""High-level model API: build / init / strides / bias-init / fuse / predict.
+
+TPU-first counterpart of the reference `Model` (reference
+models/yolo.py:496-727):
+
+- strides are derived by *abstract evaluation* (`jax.eval_shape`) of a
+  256-px forward instead of a real dummy forward (reference :531-536);
+- anchor order check + stride normalization (reference
+  utils/autoanchor.py:12-21, models/yolo.py:533);
+- detect-bias focal-prior init as a pure params rewrite (reference
+  models/yolo.py:621-629);
+- `fuse()` returns a deploy-mode model + fused variables (reference
+  models/yolo.py:681-704) via ``rep_yolo_tpu.nn.fuse``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rep_yolo_tpu.models.config import ModelConfig, parse_config
+from rep_yolo_tpu.models.network import DetectionNet
+from rep_yolo_tpu.models import heads as heads_lib
+from rep_yolo_tpu.nn.fuse import fuse_variables
+
+
+@dataclasses.dataclass
+class RepYOLO:
+    """A built detection model: static config + flax net + derived geometry."""
+
+    cfg: ModelConfig
+    net: DetectionNet
+    strides: tuple[float, ...]          # per detect level
+    anchors_px: np.ndarray              # (nl, na, 2) pixel anchors (decode)
+    anchors_grid: np.ndarray            # (nl, na, 2) stride-normalized (loss)
+    deploy: bool = False
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_config(cls, cfg: str | dict | ModelConfig, ch: int = 3,
+                    nc: int | None = None, anchors=None,
+                    deploy: bool = False) -> "RepYOLO":
+        if not isinstance(cfg, ModelConfig):
+            cfg = parse_config(cfg, ch=ch, nc=nc, anchors=anchors)
+        net = DetectionNet(cfg=cfg, deploy=deploy)
+        strides = _derive_strides(net, cfg)
+        anchors_px = np.asarray(cfg.anchors, dtype=np.float32).reshape(
+            cfg.nl, cfg.na, 2)
+        anchors_px, strides = _check_anchor_order(anchors_px, strides)
+        anchors_grid = anchors_px / np.asarray(strides, np.float32)[:, None, None]
+        return cls(cfg=cfg, net=net, strides=tuple(strides),
+                   anchors_px=anchors_px, anchors_grid=anchors_grid,
+                   deploy=deploy)
+
+    def init(self, rng: jax.Array, img_size: int = 640,
+             batch: int = 1) -> dict:
+        """Initialize variables ({'params', 'batch_stats'}) and apply the
+        detect-bias prior."""
+        x = jnp.zeros((batch, img_size, img_size, self.cfg.ch_in), jnp.float32)
+        variables = self.net.init({"params": rng}, x, train=False)
+        variables = dict(variables)
+        variables["params"] = initialize_detect_biases(
+            variables["params"], self.cfg, self.strides)
+        return variables
+
+    # -- forward -----------------------------------------------------------
+
+    def apply(self, variables: dict, x: jax.Array, *, train: bool = False,
+              rngs: dict | None = None, mutable=False):
+        """Raw forward: returns the list of head maps (B,H,W,na,no)."""
+        return self.net.apply(variables, x, train=train, rngs=rngs,
+                              mutable=mutable)
+
+    def predict(self, variables: dict, x: jax.Array) -> jax.Array:
+        """Decoded inference: (B, N, no) pixel-space predictions."""
+        maps = self.net.apply(variables, x, train=False)
+        maps = maps[: self.cfg.nl]  # lead heads only (IAuxDetect parity)
+        return heads_lib.decode_predictions(
+            maps, jnp.asarray(self.anchors_px), self.strides)
+
+    # -- deploy transform ----------------------------------------------------
+
+    def fuse(self, variables: dict) -> tuple["RepYOLO", dict]:
+        """Return (deploy model, fused variables)."""
+        fused = fuse_variables(variables)
+        model = dataclasses.replace(
+            self, net=DetectionNet(cfg=self.cfg, deploy=True), deploy=True)
+        return model, fused
+
+
+def _derive_strides(net: DetectionNet, cfg: ModelConfig,
+                    s: int = 256) -> list[float]:
+    """Stride per level via abstract eval (no FLOPs, no device)."""
+    x = jax.ShapeDtypeStruct((1, s, s, cfg.ch_in), jnp.float32)
+
+    def fwd(x):
+        rng = jax.random.PRNGKey(0)
+        variables = net.init({"params": rng}, x, train=False)
+        return net.apply(variables, x, train=False)
+
+    shapes = jax.eval_shape(fwd, x)
+    return [s / shape.shape[1] for shape in shapes[:cfg.nl]]
+
+
+def _check_anchor_order(anchors_px: np.ndarray, strides: Sequence[float]):
+    """Ensure anchor areas ascend/descend with strides; flip anchors if not
+    (reference utils/autoanchor.py:12-21 flips the anchor tensor, keeping
+    stride order).
+    """
+    a = anchors_px.prod(-1).mean(-1)  # mean area per level
+    da = a[-1] - a[0]
+    ds = strides[-1] - strides[0]
+    if np.sign(da) != np.sign(ds):
+        anchors_px = anchors_px[::-1].copy()
+    return anchors_px, list(strides)
+
+
+def initialize_detect_biases(params: dict, cfg: ModelConfig,
+                             strides: Sequence[float],
+                             cf: np.ndarray | None = None) -> dict:
+    """Focal-prior init of the detect head conv biases
+    (reference models/yolo.py:621-629): per level,
+    obj_bias += log(8 / (640/stride)^2); cls_bias += log(0.6/(nc-0.99)).
+    """
+    head_key = f"l{cfg.head_index}"
+    head = dict(params[head_key])
+    na, nc = cfg.na, cfg.nc
+    no = nc + 5
+
+    def adjust(bias, s):
+        b = np.asarray(bias, np.float32).reshape(na, no).copy()
+        b[:, 4] += math.log(8 / (640 / s) ** 2)
+        if cf is None:
+            b[:, 5:] += math.log(0.6 / (nc - 0.99))
+        else:
+            b[:, 5:] += np.log(cf / cf.sum())
+        return jnp.asarray(b.reshape(-1))
+
+    i = 0
+    while f"m_{i}" in head:
+        m = dict(head[f"m_{i}"])
+        m["bias"] = adjust(m["bias"], strides[i % len(strides)])
+        head[f"m_{i}"] = m
+        i += 1
+    i = 0
+    while f"m2_{i}" in head:
+        m = dict(head[f"m2_{i}"])
+        m["bias"] = adjust(m["bias"], strides[i % len(strides)])
+        head[f"m2_{i}"] = m
+        i += 1
+
+    out = dict(params)
+    out[head_key] = head
+    return out

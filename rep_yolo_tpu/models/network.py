@@ -1,0 +1,138 @@
+"""Routed network executor: ModelConfig plan -> flax module.
+
+The plan (from ``config.parse_config``) is resolved before trace time;
+``DetectionNet.__call__`` is a straight-line program over saved outputs —
+the TPU-first replacement for the reference's per-step module graph walk
+(reference models/yolo.py:589-619).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rep_yolo_tpu.models.config import LayerSpec, ModelConfig
+from rep_yolo_tpu.models import heads as heads_lib
+from rep_yolo_tpu.nn import blocks as B
+
+# Functional (parameter-free) ops handled inline by the executor.
+_FUNCTIONAL = {"Concat", "ADD", "Shortcut", "MP", "SP", "nn.Upsample", "Upsample"}
+
+
+def build_module(spec: LayerSpec, deploy: bool) -> nn.Module:
+    """Instantiate the flax module for a plan row. Name = `l{i}` for stable
+    param paths across train/deploy variants."""
+    name = f"l{spec.i}"
+    a = spec.args
+    n = spec.name
+    if n == "Conv":
+        return B.ConvBnAct(*a, deploy=deploy, name=name)
+    if n == "DWConv":
+        k = a[1] if len(a) > 1 else 1
+        s = a[2] if len(a) > 2 else 1
+        return B.ConvBnAct(a[0], k, s, g=B.dw_groups(spec.c1, a[0]),
+                           deploy=deploy, name=name)
+    if n == "GhostConv":
+        return B.GhostConv(*a, deploy=deploy, name=name)
+    if n == "RepConv":
+        return B.RepConv(spec.c1, *a, deploy=deploy, name=name)
+    if n == "RepS_Block":
+        # yaml args: [c2, k, s, p]; num_conv_branches pinned to the
+        # reference default for the Rep-YOLO cfg (models/common.py:3387).
+        c2, k = a[0], a[1]
+        s = a[2] if len(a) > 2 else 1
+        p = a[3] if len(a) > 3 else 0
+        return B.RepSBlock(spec.c1, c2, k, s, p, num_conv_branches=1,
+                           deploy=deploy, name=name)
+    if n == "DER_Block":
+        c2 = a[0]
+        nbs = a[1] if len(a) > 1 else 2
+        ncb = a[2] if len(a) > 2 else 1
+        return B.DERBlock(spec.c1, c2, nbs, ncb, deploy=deploy, name=name)
+    if n == "SPPCSPC":
+        return B.SPPCSPC(a[0], n=a[1], deploy=deploy, name=name)
+    if n == "SPP":
+        return B.SPP(a[0], tuple(a[1]) if len(a) > 1 else (5, 9, 13),
+                     deploy=deploy, name=name)
+    if n == "SPPF":
+        return B.SPPF(a[0], a[1] if len(a) > 1 else 5, deploy=deploy, name=name)
+    if n == "GSConv":
+        return B.GSConv(*a, deploy=deploy, name=name)
+    if n == "VoVGSCSP":
+        return B.VoVGSCSP(a[0], deploy=deploy, name=name)
+    if n == "CA":
+        return B.CA(*a, name=name)
+    if n == "CCVA":
+        return B.CCVA(a[0], deploy=deploy, name=name)
+    if n == "CrissCrossAttention":
+        return B.CrissCrossAttention(a[0], deploy=deploy, name=name)
+    if n == "VerticalAttention":
+        return B.VerticalAttention(a[0], deploy=deploy, name=name)
+    if n == "C3":
+        return B.C3(a[0], n=a[1], deploy=deploy, name=name)
+    if n == "Bottleneck":
+        return B.Bottleneck(a[0], deploy=deploy, name=name)
+    if n == "DownC":
+        return B.DownC(a[0], n=a[1], k=a[2] if len(a) > 2 else 2,
+                       deploy=deploy, name=name)
+    if n == "Stem":
+        return B.Stem(a[0], deploy=deploy, name=name)
+    if n == "Focus":
+        return B.Focus(*a, deploy=deploy, name=name)
+    if n in ("BiFPN_Concat2", "BiFPN_Concat3"):
+        return B.BiFPNConcat(a[0], name=name)
+    if n == "Detect":
+        return heads_lib.Detect(nc=a[0], anchors=a[1], ch=a[2], name=name)
+    if n == "IDetect":
+        return heads_lib.IDetect(nc=a[0], anchors=a[1], ch=a[2], deploy=deploy,
+                                 name=name)
+    if n == "IAuxDetect":
+        return heads_lib.IAuxDetect(nc=a[0], anchors=a[1], ch=a[2],
+                                    deploy=deploy, name=name)
+    raise ValueError(f"no builder for module {n!r}")
+
+
+class DetectionNet(nn.Module):
+    """The full detection network. Input NHWC float image batch in [0,1];
+    output: list of raw head maps (B, H_l, W_l, na, no) per level
+    (2*nl maps for IAuxDetect in train mode).
+    """
+
+    cfg: ModelConfig
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        saved: dict[int, jax.Array] = {}
+        y = x
+        for spec in self.cfg.layers:
+            # Gather inputs.
+            if len(spec.f) == 1:
+                inp = y if spec.f[0] in (spec.i - 1, -1) else saved[spec.f[0]]
+            else:
+                inp = [y if j == spec.i - 1 else saved[j] for j in spec.f]
+
+            n = spec.name
+            if n == "Concat":
+                y = jnp.concatenate(inp, axis=-1)
+            elif n == "ADD":
+                y = inp[0] + inp[1]  # broadcasts CA's (B,1,1,C) quirk output
+            elif n == "Shortcut":
+                y = inp[0] + inp[1]
+            elif n == "MP":
+                y = B.max_pool(inp, 2, 2)
+            elif n == "SP":
+                k = spec.args[0] if spec.args else 3
+                s = spec.args[1] if len(spec.args) > 1 else 1
+                y = B.max_pool(inp, k, s, k // 2)
+            elif n in ("nn.Upsample", "Upsample"):
+                y = B.upsample2x_nearest(inp)
+            else:
+                y = build_module(spec, self.deploy)(inp, train)
+
+            if spec.save:
+                saved[spec.i] = y
+        return y  # the head's output list

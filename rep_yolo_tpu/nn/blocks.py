@@ -1,0 +1,663 @@
+"""Block library (flax.linen, NHWC, static shapes) — the Rep-YOLO block zoo.
+
+Every block used by the Rep-YOLO graph (reference cfg/training/Rep-YOLO.yaml)
+plus the commonly reachable zoo entries, re-designed for TPU:
+
+- NHWC layout so convs tile directly onto the MXU; all shapes static.
+- Train-time multi-branch and deploy-time fused paths are the *same module*
+  gated by a static ``deploy`` flag; fusion itself is a pure pytree
+  transform in ``rep_yolo_tpu.nn.fuse``.
+- Attention blocks (criss-cross / vertical axial attention) are expressed
+  as einsums that XLA lowers to batched MXU matmuls instead of the
+  reference's permute+bmm choreography (reference models/common.py:3675).
+
+Reference parity citations are given per block. Two reference quirks are
+reproduced deliberately (they affect trained-weight parity):
+
+- ``CA`` operates on and returns the *pooled* (B,1,1,C) tensor
+  (reference models/common.py:3797-3802); ``ADD`` then broadcasts it.
+- ``VerticalAttention`` computes a softmax but applies the *raw* energies
+  as attention weights (reference models/common.py:3770-3777).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rep_yolo_tpu.nn.initializers import conv_kernel_init, conv_bias_init_for
+
+# BatchNorm hyperparameters pinned by the reference's initialize_weights
+# (reference utils/torch_utils.py:149-151): torch momentum 0.03 == flax
+# running-average momentum 0.97; eps 1e-3.
+BN_MOMENTUM = 0.97
+BN_EPS = 1e-3
+
+
+def autopad(k: int, p: int | None = None) -> int:
+    """'same'-style pad (reference models/common.py:25-29)."""
+    return k // 2 if p is None else p
+
+
+def _act(name: str | None, x: jax.Array) -> jax.Array:
+    if name == "silu":
+        return jax.nn.silu(x)
+    if name == "relu":
+        return jax.nn.relu(x)
+    if name == "relu6":
+        return jax.nn.relu6(x)
+    if name == "leaky":
+        return jax.nn.leaky_relu(x, 0.1)
+    if name == "hardswish":
+        return jax.nn.hard_swish(x)
+    if name is None or name == "identity":
+        return x
+    raise ValueError(f"unknown activation {name!r}")
+
+
+def max_pool(x: jax.Array, k: int, s: int, p: int = 0) -> jax.Array:
+    """NHWC max pool, torch semantics (floor mode, -inf padding)."""
+    pad = ((0, 0), (p, p), (p, p), (0, 0))
+    return jax.lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max, (1, k, k, 1), (1, s, s, 1), pad)
+
+
+def upsample2x_nearest(x: jax.Array) -> jax.Array:
+    """2x nearest upsample (reference cfg rows `nn.Upsample [None,2,'nearest']`)."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+class ConvUnit(nn.Module):
+    """Raw conv wrapper with torch-default init and explicit padding."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: int | None = None
+    g: int = 1
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        p = autopad(self.k, self.p)
+        c1 = x.shape[-1]
+        fan_in = (c1 // self.g) * self.k * self.k
+        return nn.Conv(
+            features=self.c2,
+            kernel_size=(self.k, self.k),
+            strides=(self.s, self.s),
+            padding=((p, p), (p, p)),
+            feature_group_count=self.g,
+            use_bias=self.use_bias,
+            kernel_init=conv_kernel_init,
+            bias_init=conv_bias_init_for(fan_in),
+            # HIGHEST: exact f32 on CPU (golden parity) and exact
+            # bf16xbf16->f32 on the MXU — the bf16 perf path casts inputs,
+            # so this costs nothing on TPU.
+            precision=jax.lax.Precision.HIGHEST,
+            name="w",
+        )(x)
+
+
+class BN(nn.Module):
+    """BatchNorm with reference hyperparameters."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            name="norm",
+        )(x)
+
+
+class ConvBnAct(nn.Module):
+    """conv + BN + act — the reference `Conv` (models/common.py:101-116).
+
+    ``deploy=True`` swaps to a single biased conv (BN folded by
+    ``fuse.fold_conv_bn``), mirroring `fuseforward`.
+    """
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: int | None = None
+    g: int = 1
+    act: str | None = "silu"
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = ConvUnit(self.c2, self.k, self.s, self.p, self.g,
+                     use_bias=self.deploy, name="conv")(x)
+        if not self.deploy:
+            y = BN(name="bn")(y, train)
+        return _act(self.act, y)
+
+
+def dw_groups(c1: int, c2: int) -> int:
+    """DWConv group count = gcd(c1, c2) (reference models/common.py:154-156)."""
+    return math.gcd(c1, c2)
+
+
+class MP(nn.Module):
+    """2x2 stride-2 max pool (reference models/common.py:32-38)."""
+
+    k: int = 2
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        return max_pool(x, self.k, self.k)
+
+
+class SP(nn.Module):
+    """k x k stride-s max pool, same padding (reference models/common.py:41-47)."""
+
+    k: int = 3
+    s: int = 1
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        return max_pool(x, self.k, self.s, self.k // 2)
+
+
+class ReOrg(nn.Module):
+    """Space-to-depth 2x (reference models/common.py:50-55)."""
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        return jnp.concatenate(
+            [x[:, ::2, ::2], x[:, 1::2, ::2], x[:, ::2, 1::2], x[:, 1::2, 1::2]],
+            axis=-1)
+
+
+class Focus(nn.Module):
+    """Space-to-depth + conv (reference models/common.py:812)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: int | None = None
+    g: int = 1
+    act: str | None = "silu"
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = jnp.concatenate(
+            [x[:, ::2, ::2], x[:, 1::2, ::2], x[:, ::2, 1::2], x[:, 1::2, 1::2]],
+            axis=-1)
+        return ConvBnAct(self.c2, self.k, self.s, self.p, self.g, self.act,
+                         self.deploy, name="conv")(y, train)
+
+
+class RepSBlock(nn.Module):
+    """MobileOne-style reparameterizable conv block.
+
+    Train: sum of `num_conv_branches` k x k conv+BN branches, a 1x1
+    conv+BN "scale" branch (k>1), and a BN identity skip (cin==cout, s==1),
+    then SiLU (reference models/common.py:3374-3434). Deploy: one biased
+    k x k conv (+SiLU); the algebra lives in ``fuse.fuse_reps_block``
+    (reference `_get_kernel_bias` models/common.py:3462-3489).
+    """
+
+    c1: int
+    c2: int
+    k: int = 3
+    s: int = 1
+    p: int = 1
+    num_conv_branches: int = 1
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.deploy:
+            y = ConvUnit(self.c2, self.k, self.s, self.p, use_bias=True,
+                         name="reparam_conv")(x)
+            return jax.nn.silu(y)
+
+        out = jnp.zeros(())
+        if self.c1 == self.c2 and self.s == 1:
+            out = out + BN(name="rbr_skip")(x, train)
+        if self.k > 1:
+            s = ConvUnit(self.c2, 1, self.s, 0, name="rbr_scale_conv")(x)
+            out = out + BN(name="rbr_scale_bn")(s, train)
+        for i in range(self.num_conv_branches):
+            b = ConvUnit(self.c2, self.k, self.s, self.p,
+                         name=f"rbr_conv_{i}_conv")(x)
+            out = out + BN(name=f"rbr_conv_{i}_bn")(b, train)
+        return jax.nn.silu(out)
+
+
+class DERBlock(nn.Module):
+    """Composite backbone block: 3 full-width RepS stages, then 3 half-width
+    RepS stages sandwiched by 1x1 compress/expand Convs, with a 3-way concat
+    of [stage1, mid1, mid3] -> 1x1 projection. Dropout(0.2) after every
+    stage (reference models/common.py:3530-3654; forward at :3644-3654).
+    """
+
+    c1: int
+    c2: int
+    num_blocks_per_stage: int = 1  # accepted for cfg parity; stages are single-block
+    num_conv_branches: int = 1
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c1, nb, dep = self.c1, self.num_conv_branches, self.deploy
+
+        def stage(name: str, ch: int, h: jax.Array) -> jax.Array:
+            h = RepSBlock(ch, ch, 3, 1, 1, nb, dep, name=name)(h, train)
+            return nn.Dropout(0.2, deterministic=not train)(h)
+
+        x1 = stage("stage1", c1, x)
+        x2 = stage("stage2", c1, x1)
+        x3 = stage("stage3", c1, x2)
+        x4_1 = ConvBnAct(c1, 1, 1, deploy=dep, name="cv0_2")(
+            stage("stage4", c1 // 2,
+                  ConvBnAct(c1 // 2, 1, 1, deploy=dep, name="cv0_1")(x3, train)),
+            train)
+        x4_2 = ConvBnAct(c1, 1, 1, deploy=dep, name="cv1_2")(
+            stage("stage5", c1 // 2,
+                  ConvBnAct(c1 // 2, 1, 1, deploy=dep, name="cv1_1")(x4_1, train)),
+            train)
+        x4_3 = ConvBnAct(c1, 1, 1, deploy=dep, name="cv2_2")(
+            stage("stage6", c1 // 2,
+                  ConvBnAct(c1 // 2, 1, 1, deploy=dep, name="cv2_1")(x4_2, train)),
+            train)
+        x5 = jnp.concatenate([x1, x4_1, x4_3], axis=-1)
+        return ConvBnAct(self.c2, 1, 1, deploy=dep, name="cv1")(x5, train)
+
+
+class RepConv(nn.Module):
+    """RepVGG block: 3x3 conv+BN || 1x1 conv+BN || BN identity, summed, SiLU
+    (reference models/common.py:476-520). Deploy: single biased 3x3 conv;
+    fusion algebra in ``fuse.fuse_repconv`` (reference
+    `get_equivalent_kernel_bias` models/common.py:522-529).
+    """
+
+    c1: int
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    act: str | None = "silu"
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        assert self.k == 3
+        if self.deploy:
+            y = ConvUnit(self.c2, 3, self.s, 1, self.g, use_bias=True,
+                         name="rbr_reparam")(x)
+            return _act(self.act, y)
+        dense = BN(name="rbr_dense_bn")(
+            ConvUnit(self.c2, 3, self.s, 1, self.g, name="rbr_dense_conv")(x), train)
+        one = BN(name="rbr_1x1_bn")(
+            ConvUnit(self.c2, 1, self.s, 0, self.g, name="rbr_1x1_conv")(x), train)
+        out = dense + one
+        if self.c1 == self.c2 and self.s == 1:
+            out = out + BN(name="rbr_identity")(x, train)
+        return _act(self.act, out)
+
+
+class SPPCSPC(nn.Module):
+    """CSP spatial pyramid pooling, maxpool k=(5,9,13), 7 convs
+    (reference models/common.py:270-290).
+    """
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    k: tuple[int, ...] = (5, 9, 13)
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = int(2 * self.c2 * self.e)
+        dep = self.deploy
+        cv = lambda name, c, k_, s: ConvBnAct(c, k_, s, deploy=dep, name=name)
+        x1 = cv("cv4", c_, 1, 1)(cv("cv3", c_, 3, 1)(cv("cv1", c_, 1, 1)(x, train), train), train)
+        pooled = [x1] + [max_pool(x1, k_, 1, k_ // 2) for k_ in self.k]
+        y1 = cv("cv6", c_, 3, 1)(
+            cv("cv5", c_, 1, 1)(jnp.concatenate(pooled, axis=-1), train), train)
+        y2 = cv("cv2", c_, 1, 1)(x, train)
+        return cv("cv7", self.c2, 1, 1)(jnp.concatenate([y1, y2], axis=-1), train)
+
+
+class SPP(nn.Module):
+    """Plain SPP (reference models/common.py:202-213)."""
+
+    c2: int
+    k: tuple[int, ...] = (5, 9, 13)
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c1 = x.shape[-1]
+        x = ConvBnAct(c1 // 2, 1, 1, deploy=self.deploy, name="cv1")(x, train)
+        y = jnp.concatenate([x] + [max_pool(x, k, 1, k // 2) for k in self.k], axis=-1)
+        return ConvBnAct(self.c2, 1, 1, deploy=self.deploy, name="cv2")(y, train)
+
+
+class SPPF(nn.Module):
+    """Fast SPP: 3 chained k-pools (reference models/common.py:824)."""
+
+    c2: int
+    k: int = 5
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c1 = x.shape[-1]
+        x = ConvBnAct(c1 // 2, 1, 1, deploy=self.deploy, name="cv1")(x, train)
+        y1 = max_pool(x, self.k, 1, self.k // 2)
+        y2 = max_pool(y1, self.k, 1, self.k // 2)
+        y3 = max_pool(y2, self.k, 1, self.k // 2)
+        return ConvBnAct(self.c2, 1, 1, deploy=self.deploy, name="cv2")(
+            jnp.concatenate([x, y1, y2, y3], axis=-1), train)
+
+
+def gs_shuffle(x: jax.Array) -> jax.Array:
+    """GSConv channel shuffle: even-indexed channels first, then odd
+    (equivalent to the reshape/permute dance at reference
+    models/common.py:3819-3825).
+    """
+    return jnp.concatenate([x[..., 0::2], x[..., 1::2]], axis=-1)
+
+
+class GSConv(nn.Module):
+    """Half-width conv + 5x5 depthwise conv, concat, channel shuffle
+    (Slim-Neck GSConv, reference models/common.py:3807-3825).
+    """
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: int | None = None
+    g: int = 1
+    act: str | None = "silu"
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = self.c2 // 2
+        x1 = ConvBnAct(c_, self.k, self.s, self.p, self.g, self.act,
+                       self.deploy, name="cv1")(x, train)
+        x2 = ConvBnAct(c_, 5, 1, self.p, c_, self.act,
+                       self.deploy, name="cv2")(x1, train)
+        return gs_shuffle(jnp.concatenate([x1, x2], axis=-1))
+
+
+class GSBottleneck(nn.Module):
+    """GSConv bottleneck with 1x1 conv shortcut (reference models/common.py:3827-3838)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    e: float = 0.5
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = int(self.c2 * self.e)
+        y = GSConv(c_, 1, 1, deploy=self.deploy, name="gs1")(x, train)
+        y = GSConv(self.c2, 3, 1, act=None, deploy=self.deploy, name="gs2")(y, train)
+        sc = ConvBnAct(self.c2, 1, 1, act=None, deploy=self.deploy,
+                       name="shortcut")(x, train)
+        return y + sc
+
+
+class VoVGSCSP(nn.Module):
+    """CSP aggregation of GSBottlenecks (reference models/common.py:3846-3861).
+
+    Note: the reference defines `self.res` (a 3x3 conv) but never uses it in
+    forward; we omit it so the param tree has no dead weights.
+    """
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = int(self.c2 * self.e)
+        x1 = ConvBnAct(c_, 1, 1, deploy=self.deploy, name="cv1")(x, train)
+        for i in range(self.n):
+            x1 = GSBottleneck(c_, e=1.0, deploy=self.deploy, name=f"gsb_{i}")(x1, train)
+        y = ConvBnAct(c_, 1, 1, deploy=self.deploy, name="cv2")(x, train)
+        return ConvBnAct(self.c2, 1, deploy=self.deploy, name="cv3")(
+            jnp.concatenate([y, x1], axis=-1), train)
+
+
+class CA(nn.Module):
+    """Channel attention (squeeze-excite-like). Reference quirk reproduced:
+    it pools, excites, and returns ``pooled*sigma + pooled`` of shape
+    (B,1,1,C) — NOT a reweighted feature map (reference
+    models/common.py:3788-3802). The downstream ``ADD`` broadcasts it.
+    """
+
+    c1: int
+    ratio: int = 16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)  # (B,1,1,C)
+        h = ConvUnit(self.c1 // self.ratio, 1, name="f1")(pooled)
+        h = ConvUnit(self.c1, 1, name="f2")(jax.nn.relu(h))
+        return pooled * jax.nn.sigmoid(h) + pooled
+
+
+class CrissCrossAttention(nn.Module):
+    """Axial (criss-cross) attention: row + column energies, joint softmax
+    over H+W, learned scalar gamma residual (reference
+    models/common.py:3675-3726). Einsum formulation -> batched MXU matmuls.
+
+    Projections reproduce the reference's conv->BN->SiLU->BN->ReLU6 stack:
+    q/k/v are grouped 1x1 DWConvs (g=gcd), and — reference quirk — q and k
+    share ONE post-BN (`self.bn`) while v has its own (`self.bn1`)
+    (reference models/common.py:3686-3687, 3696-3704). BN order q,k,v is
+    preserved so running stats match.
+    """
+
+    c1: int
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c8 = self.c1 // 8
+        H, W = x.shape[1], x.shape[2]
+        g8 = dw_groups(self.c1, c8)
+        bn_qk = BN(name="bn")       # shared between q and k
+        bn_v = BN(name="bn1")
+        q = jax.nn.relu6(bn_qk(
+            ConvBnAct(c8, 1, 1, g=g8, deploy=self.deploy, name="query_conv")(x, train),
+            train))
+        k = jax.nn.relu6(bn_qk(
+            ConvBnAct(c8, 1, 1, g=g8, deploy=self.deploy, name="key_conv")(x, train),
+            train))
+        v = jax.nn.relu6(bn_v(
+            ConvBnAct(self.c1, 1, 1, g=self.c1, deploy=self.deploy,
+                      name="value_conv")(x, train),
+            train))
+
+        hi = jax.lax.Precision.HIGHEST
+        # energy_H[b,h,w,g] = sum_c q[b,h,w,c] * k[b,g,w,c]   (column-wise)
+        energy_h = jnp.einsum("bhwc,bgwc->bhwg", q, k, precision=hi)
+        # energy_W[b,h,w,g] = sum_c q[b,h,w,c] * k[b,h,g,c]   (row-wise)
+        energy_w = jnp.einsum("bhwc,bhgc->bhwg", q, k, precision=hi)
+        att = jax.nn.softmax(jnp.concatenate([energy_h, energy_w], axis=-1), axis=-1)
+        att_h, att_w = att[..., :H], att[..., H:]
+        att_w = nn.Dropout(0.2, deterministic=not train)(att_w)
+
+        out_h = jnp.einsum("bgwc,bhwg->bhwc", v, att_h, precision=hi)
+        out_w = jnp.einsum("bhgc,bhwg->bhwc", v, att_w, precision=hi)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,))
+        return gamma * (out_h + out_w) + x
+
+
+class VerticalAttention(nn.Module):
+    """Column-only axial attention. Reference quirk reproduced: the softmax
+    is computed but the *raw* energies are used as attention weights
+    (reference models/common.py:3770-3777) — so we skip the dead softmax
+    entirely (it cannot affect outputs or gradients).
+    """
+
+    c1: int
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c8 = self.c1 // 8
+        g8 = dw_groups(self.c1, c8)
+        bn_qk = BN(name="bn")       # shared between q and k (reference quirk)
+        bn_v = BN(name="bn1")
+        q = jax.nn.relu6(bn_qk(
+            ConvBnAct(c8, 1, 1, g=g8, deploy=self.deploy, name="query_conv")(x, train),
+            train))
+        k = jax.nn.relu6(bn_qk(
+            ConvBnAct(c8, 1, 1, g=g8, deploy=self.deploy, name="key_conv")(x, train),
+            train))
+        v = jax.nn.relu6(bn_v(
+            ConvBnAct(self.c1, 1, 1, g=self.c1, deploy=self.deploy,
+                      name="value_conv")(x, train),
+            train))
+
+        hi = jax.lax.Precision.HIGHEST
+        energy_h = jnp.einsum("bhwc,bgwc->bhwg", q, k, precision=hi)
+        out_h = jnp.einsum("bgwc,bhwg->bhwc", v, energy_h, precision=hi)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,))
+        return gamma * out_h + x
+
+
+class Bottleneck(nn.Module):
+    """Darknet bottleneck (reference models/common.py:216-226)."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = int(self.c2 * self.e)
+        y = ConvBnAct(c_, 1, 1, deploy=self.deploy, name="cv1")(x, train)
+        y = ConvBnAct(self.c2, 3, 1, g=self.g, deploy=self.deploy, name="cv2")(y, train)
+        return x + y if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convs and *two* sequential bottleneck stacks
+    m, m1 (reference models/common.py:2633-2655 — this fork's C3 runs
+    cv3(cat(m1(m(cv1(x))), cv2(x)))).
+    """
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = int(self.c2 * self.e)
+        h = ConvBnAct(c_, 1, 1, deploy=self.deploy, name="cv1")(x, train)
+        h = self.inner(c_, h, train)
+        y = ConvBnAct(c_, 1, 1, deploy=self.deploy, name="cv2")(x, train)
+        return ConvBnAct(self.c2, 1, deploy=self.deploy, name="cv3")(
+            jnp.concatenate([h, y], axis=-1), train)
+
+    def inner(self, c_: int, h: jax.Array, train: bool) -> jax.Array:
+        for i in range(self.n):
+            h = Bottleneck(c_, self.shortcut, self.g, 1.0, self.deploy,
+                           name=f"m_{i}")(h, train)
+        for i in range(self.n):
+            h = Bottleneck(c_, self.shortcut, self.g, 1.0, self.deploy,
+                           name=f"m1_{i}")(h, train)
+        return h
+
+
+class CCVA(C3):
+    """C3 whose inner stacks are CrissCrossAttention + VerticalAttention
+    (reference models/common.py:3781-3786).
+    """
+
+    def inner(self, c_: int, h: jax.Array, train: bool) -> jax.Array:
+        h = CrissCrossAttention(c_, self.deploy, name="m")(h, train)
+        return VerticalAttention(c_, self.deploy, name="m1")(h, train)
+
+
+class GhostConv(nn.Module):
+    """Ghost conv (reference models/common.py:159-169)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: str | None = "silu"
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = self.c2 // 2
+        y = ConvBnAct(c_, self.k, self.s, None, self.g, self.act,
+                      self.deploy, name="cv1")(x, train)
+        y2 = ConvBnAct(c_, 5, 1, None, c_, self.act, self.deploy, name="cv2")(y, train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class DownC(nn.Module):
+    """Strided conv + pooled conv concat downsampler (reference models/common.py:188-199)."""
+
+    c2: int
+    n: int = 1
+    k: int = 2
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c1 = x.shape[-1]
+        a = ConvBnAct(c1, 1, 1, deploy=self.deploy, name="cv1")(x, train)
+        a = ConvBnAct(self.c2 // 2, 3, self.k, deploy=self.deploy, name="cv2")(a, train)
+        b = ConvBnAct(self.c2 // 2, 1, 1, deploy=self.deploy, name="cv3")(
+            max_pool(x, self.k, self.k), train)
+        return jnp.concatenate([a, b], axis=-1)
+
+
+class Stem(nn.Module):
+    """Stem (reference models/common.py:172-185)."""
+
+    c2: int
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = int(self.c2 / 2)
+        x = ConvBnAct(c_, 3, 2, deploy=self.deploy, name="cv1")(x, train)
+        a = ConvBnAct(c_, 3, 2, deploy=self.deploy, name="cv3")(
+            ConvBnAct(c_, 1, 1, deploy=self.deploy, name="cv2")(x, train), train)
+        b = max_pool(x, 2, 2)
+        return ConvBnAct(self.c2, 1, 1, deploy=self.deploy, name="cv4")(
+            jnp.concatenate([a, b], axis=-1), train)
+
+
+class BiFPNConcat(nn.Module):
+    """Learned-weight normalized concat (reference models/common.py:3870-3897)."""
+
+    n_in: int = 2
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False) -> jax.Array:
+        w = self.param("w", nn.initializers.ones, (self.n_in,))
+        w = w / (jnp.sum(w) + 1e-4)
+        return jnp.concatenate([w[i] * xs[i] for i in range(self.n_in)], axis=-1)

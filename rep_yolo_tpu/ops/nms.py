@@ -1,0 +1,160 @@
+"""Batched, class-aware, fixed-shape NMS — fully on device.
+
+TPU-native replacement for the reference's CPU/CUDA postprocess
+(reference utils/general.py:953-1045 `non_max_suppression`, whose core op
+is torchvision.ops.nms at :1029 — the one op where the reference leaves
+the framework). Same semantics, static shapes:
+
+- obj-confidence gate (:962,978); nc==1 shortcut score=obj (:994-996);
+  conf = obj*cls otherwise (:998);
+- multi-label or best-class candidate construction (:1004-1009);
+- top-`max_nms` score prefilter (:1023-1024);
+- class-offset trick `box + cls*4096` for class-aware NMS (:1027-1028);
+- exact greedy suppression in score order (torchvision parity);
+- fixed (max_det,) outputs with a validity mask instead of ragged lists.
+
+The greedy loop is a `lax.while_loop` over at most `max_det` selections
+(each step: pick first alive candidate, kill overlaps) — O(max_det * K)
+vector work, which XLA keeps entirely on device. A Pallas kernel can slot
+under `_greedy_nms` later without changing the API.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rep_yolo_tpu.ops.boxes import xywh2xyxy
+
+MAX_WH = 4096.0  # class-offset multiplier (reference utils/general.py:965)
+
+
+class Detections(NamedTuple):
+    boxes: jax.Array    # (B, max_det, 4) xyxy
+    scores: jax.Array   # (B, max_det)
+    classes: jax.Array  # (B, max_det) int32
+    valid: jax.Array    # (B, max_det) bool
+    count: jax.Array    # (B,) int32
+
+
+def _pairwise_iou(box: jax.Array, boxes: jax.Array) -> jax.Array:
+    """IoU of one (4,) box vs (K,4) boxes (torchvision convention)."""
+    area1 = (box[2] - box[0]) * (box[3] - box[1])
+    area2 = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    lt = jnp.maximum(box[:2], boxes[:, :2])
+    rb = jnp.minimum(box[2:], boxes[:, 2:])
+    wh = jnp.clip(rb - lt, 0.0, None)
+    inter = wh[:, 0] * wh[:, 1]
+    return inter / (area1 + area2 - inter)
+
+
+def _greedy_nms(boxes: jax.Array, scores: jax.Array, iou_thres: float,
+                max_det: int) -> tuple[jax.Array, jax.Array]:
+    """Exact greedy NMS over score-desc-sorted candidates.
+
+    boxes: (K,4) offset boxes sorted by score desc; scores: (K,) with
+    -inf for invalid slots. Returns (selected indices (max_det,),
+    keep mask (max_det,)).
+    """
+    K = boxes.shape[0]
+    alive = scores > -jnp.inf
+
+    def body(state):
+        t, alive, sel, keep = state
+        # first alive candidate == highest-scoring alive (input is sorted)
+        i = jnp.argmax(alive)
+        any_alive = jnp.any(alive)
+        sel = sel.at[t].set(jnp.where(any_alive, i, 0))
+        keep = keep.at[t].set(any_alive)
+        iou = _pairwise_iou(boxes[i], boxes)
+        alive = alive & (iou <= iou_thres)
+        alive = alive.at[i].set(False)
+        return t + 1, alive, sel, keep
+
+    def cond(state):
+        t, alive, _, _ = state
+        return (t < max_det) & jnp.any(alive)
+
+    sel = jnp.zeros((max_det,), jnp.int32)
+    keep = jnp.zeros((max_det,), bool)
+    _, _, sel, keep = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), alive, sel, keep))
+    return sel, keep
+
+
+@partial(jax.jit, static_argnames=(
+    "conf_thres", "iou_thres", "max_det", "max_nms", "multi_label",
+    "agnostic", "nc"))
+def non_max_suppression(
+    prediction: jax.Array,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    *,
+    max_det: int = 300,
+    max_nms: int = 4096,
+    multi_label: bool = False,
+    agnostic: bool = False,
+    nc: int | None = None,
+) -> Detections:
+    """prediction: (B, N, 5+nc) decoded [xc,yc,w,h,obj,cls...] in pixels."""
+    B, N, no = prediction.shape
+    nc = no - 5 if nc is None else nc
+    multi_label = multi_label and nc > 1
+
+    def per_image(x):
+        box = xywh2xyxy(x[:, :4])               # (N,4)
+        obj = x[:, 4]
+        if nc == 1:
+            scores = obj[:, None]               # (N,1): cls conf shortcut
+        else:
+            scores = x[:, 5:] * obj[:, None]    # (N,nc)
+
+        if multi_label:
+            flat = scores.reshape(-1)                        # (N*nc,)
+            cand_mask = (flat > conf_thres) & jnp.repeat(obj > conf_thres, nc)
+            cls_idx = jnp.tile(jnp.arange(nc), N)
+            box_idx = jnp.repeat(jnp.arange(N), nc)
+        else:
+            best = jnp.max(scores, axis=1)
+            cls_idx = jnp.argmax(scores, axis=1)
+            flat = best
+            cand_mask = (best > conf_thres) & (obj > conf_thres)
+            box_idx = jnp.arange(N)
+
+        k = min(max_nms, flat.shape[0])
+        masked = jnp.where(cand_mask, flat, -jnp.inf)
+        top_scores, top_i = jax.lax.top_k(masked, k)         # sorted desc
+        sel_box = box[box_idx[top_i]]                        # (k,4)
+        sel_cls = cls_idx[top_i].astype(jnp.float32)
+        offset = jnp.where(agnostic, 0.0, sel_cls * MAX_WH)
+        nms_boxes = sel_box + offset[:, None]
+
+        sel, keep = _greedy_nms(nms_boxes, top_scores, iou_thres, max_det)
+        out_boxes = sel_box[sel]
+        out_scores = jnp.where(keep, top_scores[sel], 0.0)
+        out_cls = jnp.where(keep, sel_cls[sel].astype(jnp.int32), -1)
+        out_boxes = jnp.where(keep[:, None], out_boxes, 0.0)
+        return out_boxes, out_scores, out_cls, keep, keep.sum().astype(jnp.int32)
+
+    boxes, scores, classes, valid, count = jax.vmap(per_image)(prediction)
+    return Detections(boxes, scores, classes, valid, count)
+
+
+def detections_to_numpy(det: Detections) -> list:
+    """Convert to the reference's per-image (n,6) [xyxy, conf, cls] arrays."""
+    import numpy as np
+
+    out = []
+    boxes = np.asarray(det.boxes)
+    scores = np.asarray(det.scores)
+    classes = np.asarray(det.classes)
+    valid = np.asarray(det.valid)
+    for b in range(boxes.shape[0]):
+        m = valid[b]
+        out.append(np.concatenate([
+            boxes[b][m], scores[b][m, None], classes[b][m, None].astype(np.float32)
+        ], axis=1))
+    return out

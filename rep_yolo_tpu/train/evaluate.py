@@ -1,0 +1,133 @@
+"""mAP evaluation loop — the test.py equivalent (reference test.py:21-285).
+
+Device side: letterbox -> batched forward -> decode -> class-aware NMS
+(conf 0.001 / iou 0.65 / multi-label, reference test.py:25-26,123), all
+jitted with static shapes. Host side: coordinate scale-back, greedy IoU
+TP-matching over 10 thresholds, AP aggregation (utils/metrics.py port).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rep_yolo_tpu.data.augment import letterbox_batch
+from rep_yolo_tpu.data.datasets import DetectionDataset, Loader
+from rep_yolo_tpu.ops.nms import non_max_suppression, detections_to_numpy
+from rep_yolo_tpu.utils.metrics import (ap_per_class, match_predictions,
+                                        ConfusionMatrix, fitness)
+
+
+@dataclasses.dataclass
+class EvalResult:
+    mp: float
+    mr: float
+    map50: float
+    map: float
+    per_class: dict
+    speed_ms: tuple      # (inference+nms ms/img, total ms/img)
+    fitness: float
+
+
+def make_eval_step(model, variables, img_size: int, conf_thres: float = 0.001,
+                   iou_thres: float = 0.65, max_nms: int = 8192):
+    """Jitted: raw uint8 padded batch -> fixed-shape detections in
+    letterboxed pixel coords."""
+
+    @jax.jit
+    def step(images, hw):
+        imgs, ratio, pad = letterbox_batch(images, hw, img_size)
+        pred = model.predict(variables, imgs)
+        det = non_max_suppression(
+            pred, conf_thres, iou_thres, max_det=300, max_nms=max_nms,
+            multi_label=True, nc=model.cfg.nc)
+        return det, ratio, pad
+
+    return step
+
+
+def evaluate(model, variables, ds: DetectionDataset, batch_size: int = 8,
+             img_size: int = 640, conf_thres: float = 0.001,
+             iou_thres: float = 0.65, verbose: bool = False) -> EvalResult:
+    loader = Loader(ds, batch_size, shuffle=False, drop_last=False)
+    step = make_eval_step(model, variables, img_size, conf_thres, iou_thres)
+
+    iouv = np.linspace(0.5, 0.95, 10)
+    stats = []
+    t_inf = 0.0
+    n_img = 0
+    t_total0 = time.perf_counter()
+
+    for batch in loader.epoch(0):
+        t0 = time.perf_counter()
+        det, ratio, pad = step(jnp.asarray(batch["images"]),
+                               jnp.asarray(batch["hw"]))
+        det = jax.block_until_ready(det)
+        t_inf += time.perf_counter() - t0
+        n_img += batch["images"].shape[0]
+
+        dets = detections_to_numpy(det)
+        ratio = np.asarray(ratio)
+        pad = np.asarray(pad)
+        for i, d in enumerate(dets):
+            # scale detections back to original frame
+            r = ratio[i]
+            pw, ph = pad[i]
+            h0, w0 = batch["orig_shapes"][i]
+            h, w = batch["hw"][i]
+            # content (h,w) was itself a resize of (h0,w0) by r0
+            r0 = h / h0
+            if d.shape[0]:
+                d = d.copy()
+                d[:, [0, 2]] = (d[:, [0, 2]] - pw) / r / r0
+                d[:, [1, 3]] = (d[:, [1, 3]] - ph) / r / r0
+                d[:, [0, 2]] = d[:, [0, 2]].clip(0, w0)
+                d[:, [1, 3]] = d[:, [1, 3]].clip(0, h0)
+            # ground truth in original pixels
+            m = batch["mask"][i]
+            lab = batch["labels"][i][m]
+            if lab.shape[0]:
+                cx, cy, bw, bh = (lab[:, 1] * w0, lab[:, 2] * h0,
+                                  lab[:, 3] * w0, lab[:, 4] * h0)
+                gt = np.stack([lab[:, 0], cx - bw / 2, cy - bh / 2,
+                               cx + bw / 2, cy + bh / 2], 1)
+            else:
+                gt = np.zeros((0, 5), np.float32)
+            correct = match_predictions(d, gt, iouv)
+            stats.append((correct, d[:, 4], d[:, 5], gt[:, 0]))
+
+    t_total = time.perf_counter() - t_total0
+    if stats:
+        tp = np.concatenate([s[0] for s in stats])
+        conf = np.concatenate([s[1] for s in stats])
+        pcls = np.concatenate([s[2] for s in stats])
+        tcls = np.concatenate([s[3] for s in stats])
+    else:
+        tp = np.zeros((0, 10))
+        conf = pcls = tcls = np.zeros((0,))
+
+    if tp.shape[0] and tcls.shape[0]:
+        p, r, ap, f1, classes = ap_per_class(tp, conf, pcls, tcls)
+        ap50, ap_all = ap[:, 0], ap.mean(1)
+        mp, mr = p.mean(), r.mean()
+        map50, map_ = ap50.mean(), ap_all.mean()
+        per_class = {int(c): dict(p=float(p[i]), r=float(r[i]),
+                                  ap50=float(ap50[i]), ap=float(ap_all[i]))
+                     for i, c in enumerate(classes)}
+    else:
+        mp = mr = map50 = map_ = 0.0
+        per_class = {}
+
+    return EvalResult(
+        mp=float(mp), mr=float(mr), map50=float(map50), map=float(map_),
+        per_class=per_class,
+        speed_ms=(1000 * t_inf / max(n_img, 1),
+                  1000 * t_total / max(n_img, 1)),
+        fitness=float(fitness(mp, mr, map50, map_)),
+    )

@@ -1,0 +1,93 @@
+"""Training state and the jit-sharded train step.
+
+The reference's epoch/batch loop (reference train.py:320-416) maps to a
+single jitted `train_step` over a data-sharded mesh:
+
+- forward in train mode (BN batch stats update; with the batch sharded on
+  the mesh's data axis the batch-mean IS the global mean — XLA inserts the
+  cross-chip reductions, subsuming SyncBatchNorm, reference train.py:253);
+- simOTA or classic loss (train.py:375 uses the classic ComputeLoss in the
+  step; train_aux.py:362 uses OTA — both provided);
+- SGD(nesterov)/3-group update with warmup + one-cycle schedules;
+- EMA update (reference train.py:390).
+
+Gradient accumulation (reference train.py:116-117,385) is expressed by
+micro-batching outside or by scaling the per-chip batch; weight decay is
+pre-scaled accordingly (optim.scaled_weight_decay).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rep_yolo_tpu.train import optim as optim_lib
+from rep_yolo_tpu.train.ema import EMAState, init_ema, update_ema
+from rep_yolo_tpu.train.loss import LossConfig, compute_loss, compute_loss_ota
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt: optim_lib.OptState
+    ema: EMAState
+    rng: jax.Array
+
+
+def create_train_state(variables: dict, rng: jax.Array) -> TrainState:
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt=optim_lib.init_state(variables["params"]),
+        ema=init_ema({"params": variables["params"],
+                      "batch_stats": variables.get("batch_stats", {})}),
+        rng=rng,
+    )
+
+
+def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
+                    img_size: int, use_ota: bool = True,
+                    augment_fn=None):
+    """Build the jit-able train step.
+
+    model: RepYOLO; augment_fn: optional on-device augmentation
+    (images, hw, labels, mask, key) -> Batch applied inside the step.
+    """
+    anchors_grid = jnp.asarray(model.anchors_grid)
+    strides = model.strides
+    groups = None  # computed lazily on first call (static across steps)
+
+    def loss_fn(params, batch_stats, images, labels, mask, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        preds, mutated = model.net.apply(
+            variables, images, train=True,
+            rngs={"dropout": rng}, mutable=["batch_stats"])
+        if use_ota:
+            loss, comps = compute_loss_ota(
+                preds, labels, mask, anchors_grid, strides, img_size,
+                loss_cfg)
+        else:
+            loss, comps = compute_loss(preds, labels, mask, anchors_grid,
+                                       loss_cfg)
+        return loss, (comps, mutated["batch_stats"])
+
+    def train_step(state: TrainState, images, hw, labels, mask):
+        rng, k_aug, k_drop = jax.random.split(state.rng, 3)
+        if augment_fn is not None:
+            batch = augment_fn(images, hw, labels, mask, k_aug)
+            images, labels, mask = batch.images, batch.labels, batch.mask
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (comps, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, images, labels, mask, k_drop)
+        new_params, new_opt = optim_lib.apply_updates(
+            state.params, grads, state.opt, opt_cfg, groups)
+        new_ema = update_ema(state.ema, {"params": new_params,
+                                         "batch_stats": new_stats})
+        return TrainState(params=new_params, batch_stats=new_stats,
+                          opt=new_opt, ema=new_ema, rng=rng), comps
+
+    return train_step
