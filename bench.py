@@ -49,35 +49,39 @@ def main():
                                   max_nms=1024)
         return det
 
+    @jax.jit
     def infer_loop(v, x, n_iters):
-        # All iterations inside ONE device program (lax.scan) with a real
-        # runtime data dependency between steps, so neither a lazy runtime
-        # nor XLA simplification can elide repeated executions.
-        def body(carry, _):
+        # All iterations inside ONE device program (fori_loop with a
+        # *dynamic* bound, so every iteration count reuses one executable)
+        # with a true data dependency between steps, so neither a lazy
+        # runtime nor XLA simplification can elide repeated executions.
+        def body(_, carry):
             xc, acc = carry
             det = one(v, xc)
             s = det.scores.sum() + acc
-            xc = xc + (s * 1e-24).astype(xc.dtype)  # true dependency, ~0
-            return (xc, s), None
+            xc = xc + (s * 1e-24).astype(xc.dtype)  # real dependency, ~0
+            return (xc, s)
 
-        (_, acc), _ = jax.lax.scan(body, (x, jnp.float32(0.0)), None,
-                                   length=n_iters)
+        _, acc = jax.lax.fori_loop(0, n_iters, body,
+                                   (x, jnp.float32(0.0)))
         return acc
 
     x = jax.random.uniform(jax.random.PRNGKey(1),
                            (BATCH, SIZE, SIZE, 3), jnp.bfloat16)
-    jax.block_until_ready(jax.jit(one)(fused, x))       # compile single step
-    infer_iters = jax.jit(infer_loop, static_argnums=2)
-    jax.block_until_ready(infer_iters(fused, x, 2))     # compile loop
+    float(infer_loop(fused, x, 1))  # compile + one real iteration
 
-    t0 = time.perf_counter()
-    jax.block_until_ready(infer_iters(fused, x, ITERS))
-    t_n = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jax.block_until_ready(infer_iters(fused, x, 2 * ITERS))
-    t_2n = time.perf_counter() - t0
-    # slope between N and 2N iters removes fixed dispatch/transfer overhead
-    dt = (t_2n - t_n) / ITERS
+    def timed(n):
+        t0 = time.perf_counter()
+        float(infer_loop(fused, x, n))   # D2H read forces full execution
+        return time.perf_counter() - t0
+
+    # slope between N and 2N removes fixed dispatch/transfer overhead;
+    # median of 3 repeats rejects tunnel jitter
+    import statistics
+
+    t_n = statistics.median(timed(ITERS) for _ in range(3))
+    t_2n = statistics.median(timed(2 * ITERS) for _ in range(3))
+    dt = max((t_2n - t_n) / ITERS, 1e-9)
 
     n_chips = max(1, len(jax.devices()))
     img_s_chip = BATCH / dt / n_chips

@@ -35,12 +35,19 @@ def parse_args(argv=None):
     p.add_argument("--no-ota", action="store_true",
                    help="use classic ComputeLoss (the reference train.py "
                         "step default) instead of simOTA")
+    p.add_argument("--aux", action="store_true",
+                   help="train with auxiliary heads + aux-OTA loss "
+                        "(train_aux.py path; use an IAuxDetect cfg)")
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--project", default="runs/train")
     p.add_argument("--name", default="exp")
     p.add_argument("--resume", default=None)
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--native-loader", action="store_true",
+                   help="use the C++ decode/prefetch loader")
+    p.add_argument("--workers", type=int, default=0,
+                   help="native loader threads (0 = auto)")
     return p.parse_args(argv)
 
 
@@ -76,7 +83,14 @@ def main(argv=None):
     val_ds = (DetectionDataset.from_path(args.val_data, args.img_size,
                                          args.nc, args.max_labels)
               if args.val_data else ds)
-    loader = Loader(ds, args.batch_size, shuffle=True, seed=args.seed)
+    if args.native_loader:
+        from rep_yolo_tpu.data.native_loader import NativeLoader
+
+        loader = NativeLoader(ds, args.batch_size, shuffle=True,
+                              seed=args.seed,
+                              n_threads=args.workers or None)
+    else:
+        loader = Loader(ds, args.batch_size, shuffle=True, seed=args.seed)
     nb = len(loader)
     print(f"train: {len(ds)} images, {nb} batches/epoch")
 
@@ -112,11 +126,18 @@ def main(argv=None):
     augment_fn = None if args.no_augment else (
         lambda im, hw, lb, mk, k: augment_batch(im, hw, lb, mk, k, aug_cfg))
 
+    loss_mode = ("aux_ota" if args.aux
+                 else ("classic" if args.no_ota else "ota"))
     step_fn = make_train_step(model, loss_cfg, opt_cfg, args.img_size,
-                              use_ota=not args.no_ota, augment_fn=augment_fn)
+                              augment_fn=augment_fn, loss_mode=loss_mode)
     step_fn = jax.jit(step_fn, donate_argnums=(0,))
 
     state = create_train_state(variables, jax.random.PRNGKey(args.seed + 1))
+
+    from rep_yolo_tpu.utils.logger import RunLogger
+
+    logger = RunLogger(out_dir)
+    logger.log_config("hyp", hyp)
 
     best_fitness = 0.0
     results_file = out_dir / "results.txt"
@@ -139,6 +160,10 @@ def main(argv=None):
         print(line)
         with open(results_file, "a") as f:
             f.write(line + "\n")
+        logger.log_scalars(epoch, {"train/box": mloss[0],
+                                   "train/obj": mloss[1],
+                                   "train/cls": mloss[2],
+                                   "train/total": mloss[3]})
 
         if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
             res = evaluate(model, state.ema.variables, val_ds,
@@ -146,12 +171,17 @@ def main(argv=None):
                            img_size=args.img_size)
             print(f"  eval: P {res.mp:.3f} R {res.mr:.3f} "
                   f"mAP50 {res.map50:.3f} mAP {res.map:.3f}")
+            logger.log_scalars(epoch, {"val/P": res.mp, "val/R": res.mr,
+                                       "val/mAP50": res.map50,
+                                       "val/mAP": res.map,
+                                       "val/fitness": res.fitness})
             save_checkpoint(out_dir / "last", state,
                             meta=dict(epoch=epoch, fitness=res.fitness))
             if res.fitness > best_fitness:
                 best_fitness = res.fitness
                 save_checkpoint(out_dir / "best", state,
                                 meta=dict(epoch=epoch, fitness=res.fitness))
+    logger.close()
     print(f"done. results in {out_dir}")
     return out_dir
 

@@ -84,6 +84,35 @@ class RepYOLO:
         return heads_lib.decode_predictions(
             maps, jnp.asarray(self.anchors_px), self.strides)
 
+    def predict_tta(self, variables: dict, x: jax.Array) -> jax.Array:
+        """Test-time-augmented inference (reference models/yolo.py:569-585):
+        3 scales (1.0, 0.83, 0.67) x flips (none, lr, none), decoded preds
+        de-scaled/de-flipped and concatenated. Each scale is a separate
+        static shape (3 compiled programs), the TPU-friendly equivalent of
+        the reference's dynamic resize.
+        """
+        b, h, w, _ = x.shape
+        gs = int(max(self.strides))
+        scales = (1.0, 0.83, 0.67)
+        flips = (None, "lr", None)
+        outs = []
+        for s, f in zip(scales, flips):
+            nh = max(gs, int(math.ceil(h * s / gs) * gs))
+            nw = max(gs, int(math.ceil(w * s / gs) * gs))
+            xi = jax.image.resize(x, (b, nh, nw, x.shape[-1]), "bilinear")
+            if f == "lr":
+                xi = xi[:, :, ::-1]
+            yi = self.predict(variables, xi)
+            # de-scale boxes back to the original pixel frame
+            sx = w / nw
+            sy = h / nh
+            scale_vec = jnp.asarray([sx, sy, sx, sy], yi.dtype)
+            boxes = yi[..., :4] * scale_vec
+            if f == "lr":
+                boxes = boxes.at[..., 0].set(w - boxes[..., 0])
+            outs.append(jnp.concatenate([boxes, yi[..., 4:]], axis=-1))
+        return jnp.concatenate(outs, axis=1)
+
     # -- deploy transform ----------------------------------------------------
 
     def fuse(self, variables: dict) -> tuple["RepYOLO", dict]:

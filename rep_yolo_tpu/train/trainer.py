@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from rep_yolo_tpu.train import optim as optim_lib
 from rep_yolo_tpu.train.ema import EMAState, init_ema, update_ema
-from rep_yolo_tpu.train.loss import LossConfig, compute_loss, compute_loss_ota
+from rep_yolo_tpu.train.loss import (LossConfig, compute_loss,
+                                     compute_loss_ota, compute_loss_aux_ota)
 
 
 class TrainState(NamedTuple):
@@ -51,22 +52,28 @@ def create_train_state(variables: dict, rng: jax.Array) -> TrainState:
 
 def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
                     img_size: int, use_ota: bool = True,
-                    augment_fn=None):
+                    augment_fn=None, loss_mode: str | None = None):
     """Build the jit-able train step.
 
     model: RepYOLO; augment_fn: optional on-device augmentation
     (images, hw, labels, mask, key) -> Batch applied inside the step.
+    loss_mode: 'ota' | 'classic' | 'aux_ota' (overrides use_ota).
     """
     anchors_grid = jnp.asarray(model.anchors_grid)
     strides = model.strides
     groups = None  # computed lazily on first call (static across steps)
+    mode = loss_mode or ("ota" if use_ota else "classic")
 
     def loss_fn(params, batch_stats, images, labels, mask, rng):
         variables = {"params": params, "batch_stats": batch_stats}
         preds, mutated = model.net.apply(
             variables, images, train=True,
             rngs={"dropout": rng}, mutable=["batch_stats"])
-        if use_ota:
+        if mode == "aux_ota":
+            loss, comps = compute_loss_aux_ota(
+                preds, labels, mask, anchors_grid, strides, img_size,
+                loss_cfg)
+        elif mode == "ota":
             loss, comps = compute_loss_ota(
                 preds, labels, mask, anchors_grid, strides, img_size,
                 loss_cfg)
