@@ -13,10 +13,18 @@ the framework). Same semantics, static shapes:
 - exact greedy suppression in score order (torchvision parity);
 - fixed (max_det,) outputs with a validity mask instead of ragged lists.
 
-The greedy loop is a `lax.while_loop` over at most `max_det` selections
-(each step: pick first alive candidate, kill overlaps) — O(max_det * K)
-vector work, which XLA keeps entirely on device. A Pallas kernel can slot
-under `_greedy_nms` later without changing the API.
+Three interchangeable suppression backends (`method=`):
+
+- "pallas": the TPU kernel in ops/pallas/nms_kernel.py — fixed-point
+  `keep <- valid & (keep @ M == 0)` sweeps on the MXU with the K x K
+  suppression matrix resident in VMEM (exactly greedy at convergence);
+- "matrix": the same fixed-point algorithm in plain XLA (any backend,
+  any K — the K x K IoU matrix lives in HBM);
+- "greedy": a literal `lax.while_loop` over max_det selections (each
+  step: pick first alive candidate, kill overlaps) — the slowest but
+  most obviously-correct formulation, kept as the parity oracle.
+
+"auto" picks pallas on TPU when K fits VMEM, else matrix.
 """
 
 from __future__ import annotations
@@ -85,9 +93,19 @@ def _greedy_nms(boxes: jax.Array, scores: jax.Array, iou_thres: float,
     return sel, keep
 
 
+def _resolve_method(method: str, k: int) -> str:
+    from rep_yolo_tpu.ops.pallas.nms_kernel import MAX_PALLAS_K
+
+    if method != "auto":
+        return method
+    if jax.default_backend() == "tpu" and k <= MAX_PALLAS_K:
+        return "pallas"
+    return "matrix" if k <= MAX_PALLAS_K else "greedy"
+
+
 @partial(jax.jit, static_argnames=(
     "conf_thres", "iou_thres", "max_det", "max_nms", "multi_label",
-    "agnostic", "nc"))
+    "agnostic", "nc", "method"))
 def non_max_suppression(
     prediction: jax.Array,
     conf_thres: float = 0.25,
@@ -98,13 +116,17 @@ def non_max_suppression(
     multi_label: bool = False,
     agnostic: bool = False,
     nc: int | None = None,
+    method: str = "auto",
 ) -> Detections:
     """prediction: (B, N, 5+nc) decoded [xc,yc,w,h,obj,cls...] in pixels."""
     B, N, no = prediction.shape
     nc = no - 5 if nc is None else nc
     multi_label = multi_label and nc > 1
+    k = min(max_nms, N * nc if multi_label else N)
+    method = _resolve_method(method, k)
 
-    def per_image(x):
+    def candidates(x):
+        """Per image: top-k score-desc candidate boxes/scores/classes."""
         box = xywh2xyxy(x[:, :4])               # (N,4)
         obj = x[:, 4]
         if nc == 1:
@@ -124,23 +146,60 @@ def non_max_suppression(
             cand_mask = (best > conf_thres) & (obj > conf_thres)
             box_idx = jnp.arange(N)
 
-        k = min(max_nms, flat.shape[0])
         masked = jnp.where(cand_mask, flat, -jnp.inf)
         top_scores, top_i = jax.lax.top_k(masked, k)         # sorted desc
         sel_box = box[box_idx[top_i]]                        # (k,4)
         sel_cls = cls_idx[top_i].astype(jnp.float32)
         offset = jnp.where(agnostic, 0.0, sel_cls * MAX_WH)
         nms_boxes = sel_box + offset[:, None]
+        return nms_boxes, sel_box, top_scores, sel_cls
 
-        sel, keep = _greedy_nms(nms_boxes, top_scores, iou_thres, max_det)
-        out_boxes = sel_box[sel]
-        out_scores = jnp.where(keep, top_scores[sel], 0.0)
-        out_cls = jnp.where(keep, sel_cls[sel].astype(jnp.int32), -1)
-        out_boxes = jnp.where(keep[:, None], out_boxes, 0.0)
-        return out_boxes, out_scores, out_cls, keep, keep.sum().astype(jnp.int32)
+    nms_boxes, sel_box, top_scores, sel_cls = jax.vmap(candidates)(prediction)
+    cand_valid = top_scores > -jnp.inf                       # (B,k)
 
-    boxes, scores, classes, valid, count = jax.vmap(per_image)(prediction)
-    return Detections(boxes, scores, classes, valid, count)
+    if method == "greedy":
+        def one(nb, sb, ts, sc):
+            sel, keep = _greedy_nms(nb, ts, iou_thres, max_det)
+            out_boxes = jnp.where(keep[:, None], sb[sel], 0.0)
+            out_scores = jnp.where(keep, ts[sel], 0.0)
+            out_cls = jnp.where(keep, sc[sel].astype(jnp.int32), -1)
+            return out_boxes, out_scores, out_cls, keep, \
+                keep.sum().astype(jnp.int32)
+
+        boxes, scores, classes, valid, count = jax.vmap(one)(
+            nms_boxes, sel_box, top_scores, sel_cls)
+        return Detections(boxes, scores, classes, valid, count)
+
+    if method == "pallas":
+        from rep_yolo_tpu.ops.pallas.nms_kernel import nms_keep_pallas
+
+        keep = nms_keep_pallas(nms_boxes, cand_valid, float(iou_thres),
+                               interpret=jax.default_backend() != "tpu")
+    elif method == "matrix":
+        from rep_yolo_tpu.ops.pallas.nms_kernel import nms_keep_matrix_xla
+
+        keep = nms_keep_matrix_xla(nms_boxes, cand_valid, float(iou_thres))
+    else:
+        raise ValueError(f"unknown NMS method {method!r}")
+
+    # fixed-shape selection: scores are already descending, so the first
+    # max_det kept candidates ARE the greedy selections in order.
+    masked = jnp.where(keep, top_scores, -jnp.inf)           # (B,k)
+    if k < max_det:
+        masked = jnp.pad(masked, ((0, 0), (0, max_det - k)),
+                         constant_values=-jnp.inf)
+        sel_box = jnp.pad(sel_box, ((0, 0), (0, max_det - k), (0, 0)))
+        sel_cls = jnp.pad(sel_cls, ((0, 0), (0, max_det - k)))
+    vals, idx = jax.lax.top_k(masked, max_det)               # (B,max_det)
+    ok = vals > -jnp.inf
+    out_boxes = jnp.where(
+        ok[..., None], jnp.take_along_axis(sel_box, idx[..., None], axis=1),
+        0.0)
+    out_scores = jnp.where(ok, vals, 0.0)
+    out_cls = jnp.where(
+        ok, jnp.take_along_axis(sel_cls, idx, axis=1).astype(jnp.int32), -1)
+    count = ok.sum(axis=1).astype(jnp.int32)
+    return Detections(out_boxes, out_scores, out_cls, ok, count)
 
 
 def detections_to_numpy(det: Detections) -> list:

@@ -98,6 +98,50 @@ def test_nms_multilabel():
         rtol=1e-5, atol=1e-5)
 
 
+def _chain_pred(n=64):
+    """Boxes forming a long suppression chain: box i overlaps i+1 with
+    IoU ~0.6 and scores strictly decreasing — greedy keeps every other
+    box, so a naive one-sweep 'suppress all overlapped' is wrong and the
+    fixed-point solver needs ~n/2 sweeps. Exercises convergence depth."""
+    xs = 50.0 + 8.0 * np.arange(n)
+    boxes = np.stack([xs, np.full(n, 50.0), np.full(n, 32.0),
+                      np.full(n, 32.0)], 1)
+    obj = np.linspace(0.95, 0.35, n)[:, None]
+    return np.concatenate([boxes, obj, np.ones((n, 1))],
+                          1).astype(np.float32)[None]
+
+
+def test_nms_methods_agree():
+    """pallas (interpret on CPU), matrix-XLA and greedy backends produce
+    identical detections, incl. on deep suppression chains."""
+    rng = np.random.default_rng(11)
+    cases = [
+        (_rand_pred(rng, 400, 1)[None], dict(nc=1)),
+        (_rand_pred(rng, 300, 7)[None], dict(nc=7)),
+        (_chain_pred(64), dict(nc=1)),
+    ]
+    for pred, kw in cases:
+        pred_j = jnp.asarray(pred)
+        outs = {}
+        for method in ("greedy", "matrix", "pallas"):
+            det = non_max_suppression(pred_j, 0.25, 0.45, max_nms=512,
+                                      method=method, **kw)
+            outs[method] = detections_to_numpy(det)[0]
+        for method in ("matrix", "pallas"):
+            np.testing.assert_allclose(outs[method], outs["greedy"],
+                                       rtol=1e-6, atol=1e-6,
+                                       err_msg=method)
+
+
+def test_nms_chain_matches_numpy():
+    pred = _chain_pred(48)
+    det = non_max_suppression(jnp.asarray(pred), 0.25, 0.45, max_nms=128,
+                              method="matrix")
+    ours = detections_to_numpy(det)[0]
+    ref = np_reference_nms(pred[0], 0.25, 0.45, nc=1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_nms_batched_and_empty():
     rng = np.random.default_rng(6)
     pred = np.stack([_rand_pred(rng, 100, 1),
