@@ -52,19 +52,37 @@ class ModelConfig:
 
 
 # Modules whose first arg is c2 and get width_multiple applied
-# (reference models/yolo.py:746-767).
+# (reference models/yolo.py:746-762; the Swin/ST CSP wrappers and a few
+# tail-end zoo blocks fall through the reference's raw `else` branch at
+# models/yolo.py:818-819 — here they get the sane c2=args[0] rule instead,
+# since the raw branch only 'works' when the YAML repeats ch[f]).
+_CSP_FAMILIES = {
+    f"{base}CSP{v}"
+    for base in ("Bottleneck", "RepBottleneck", "Res", "RepRes", "ResX",
+                 "RepResX", "Ghost")
+    for v in "ABC"
+} | {f"STCSP{v}" for v in "ABC"} | {f"ST2CSP{v}" for v in "ABC"}
+
 _CH_MODULES = {
-    "Conv", "DWConv", "GhostConv", "RepConv", "DownC", "SPP", "SPPF",
-    "SPPCSPC", "Focus", "Stem", "Bottleneck", "C3", "CCVA",
-    "GSConv", "VoVGSCSP",
-}
+    "Conv", "DWConv", "GhostConv", "RepConv", "RepConv_OREPA", "DownC",
+    "SPP", "SPPF", "SPPCSPC", "GhostSPPCSPC", "SPPFCSPC", "ASPP",
+    "Focus", "Stem", "GhostStem", "stem",
+    "Bottleneck", "RepBottleneck", "Res", "RepRes", "ResX", "RepResX",
+    "Ghost", "C3", "C3STR", "CCVA", "CBAMC3",
+    "GSConv", "VoVGSCSP", "VoVGSCSPC", "GSBottleneck", "GSBottleneckC",
+    "RobustConv", "RobustConv2", "MixConv2d", "CrossConv",
+    "TransformerBlock", "SwinTransformerBlock", "SwinTransformer2Block",
+    "SwinTransformerBlock_Vertical", "InvertedResidual", "Classify",
+    "SpConv2d", "OREPA_3x3_RepConv",
+} | _CSP_FAMILIES
 # Of those, modules that take an n-repeats arg inserted at position 2
 # (reference models/yolo.py:768-781).
-_INSERT_N = {"DownC", "SPPCSPC", "C3"}
+_INSERT_N = {"DownC", "SPPCSPC", "GhostSPPCSPC", "C3", "C3STR",
+             "CBAMC3"} | _CSP_FAMILIES
 # Raw-channel modules: c1, c2 = ch[f], args[0], no width multiple
 # (reference models/yolo.py:788-790).
 _REP_MODULES = {"RepS_Block", "DER_Block"}
-_HEADS = {"Detect", "IDetect", "IAuxDetect"}
+_HEADS = {"Detect", "IDetect", "IAuxDetect", "IBin", "IKeypoint"}
 
 
 def _as_tuple(x) -> tuple:
@@ -147,12 +165,39 @@ def parse_config(cfg: str | dict, ch: int = 3, nc: int | None = None,
             if isinstance(head_anchors, int):
                 head_anchors = tuple(tuple(range(head_anchors * 2))
                                      for _ in abs_f)
-            args = [nc, _as_tuple(head_anchors), c1]
+            # extra head args survive (IKeypoint nkpt, IBin bin_count)
+            args = [nc, _as_tuple(head_anchors), c1, *args[2:]]
             c2 = no
         elif name == "ReOrg":
             c1 = channels[f]
             c2 = c1 * 4
             args = []
+        elif name == "Foldcut":
+            # (reference models/yolo.py:794-795)
+            c1 = channels[f]
+            c2 = c1 // 2
+            args = []
+        elif name == "Contract":
+            # (reference models/yolo.py:803-804)
+            c1 = channels[f]
+            gain = args[0] if args else 2
+            c2 = c1 * gain ** 2
+            args = [gain]
+        elif name == "Expand":
+            # (reference models/yolo.py:805-806)
+            c1 = channels[f]
+            gain = args[0] if args else 2
+            c2 = c1 // gain ** 2
+            args = [gain]
+        elif name == "Sum":
+            # (reference models/experimental.py:24; raw else branch)
+            c1 = tuple(channels[j] for j in abs_f)
+            c2 = c1[0]
+            args = [len(abs_f), bool(args[0]) if args else False]
+        elif name == "DropPath":
+            c1 = channels[f]
+            c2 = c1
+            args = [float(args[0]) if args else 0.0]
         elif name == "CA":
             # CA falls through parse_model's else-branch: built with raw
             # args, c2 = ch[f] (reference models/yolo.py:819-820).

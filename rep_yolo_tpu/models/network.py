@@ -17,9 +17,22 @@ from flax import linen as nn
 from rep_yolo_tpu.models.config import LayerSpec, ModelConfig
 from rep_yolo_tpu.models import heads as heads_lib
 from rep_yolo_tpu.nn import blocks as B
+from rep_yolo_tpu.nn import orepa as O
+from rep_yolo_tpu.nn import transformer as T
+from rep_yolo_tpu.nn import zoo as Z
 
 # Functional (parameter-free) ops handled inline by the executor.
-_FUNCTIONAL = {"Concat", "ADD", "Shortcut", "MP", "SP", "nn.Upsample", "Upsample"}
+_FUNCTIONAL = {"Concat", "ADD", "Shortcut", "MP", "SP", "nn.Upsample",
+               "Upsample", "Chuncat", "Foldcut", "Contract", "Expand",
+               "ReOrg"}
+
+# CSP wrapper name -> (variant, inner kind) (reference models/common.py
+# 318-438, 668-756: <Inner>CSP<V> subclasses of BottleneckCSP<V>).
+_CSP_MAP = {}
+for _inner in ("Bottleneck", "RepBottleneck", "Res", "RepRes", "ResX",
+               "RepResX", "Ghost"):
+    for _v in "ABC":
+        _CSP_MAP[f"{_inner}CSP{_v}"] = (_v, _inner)
 
 
 def build_module(spec: LayerSpec, deploy: bool) -> nn.Module:
@@ -84,6 +97,89 @@ def build_module(spec: LayerSpec, deploy: bool) -> nn.Module:
         return B.Focus(*a, deploy=deploy, name=name)
     if n in ("BiFPN_Concat2", "BiFPN_Concat3"):
         return B.BiFPNConcat(a[0], name=name)
+    # --- extended zoo (SURVEY §2.2) ---
+    if n in _CSP_MAP:
+        variant, inner = _CSP_MAP[n]
+        cls = {"A": Z.CSPA, "B": Z.CSPB, "C": Z.CSPC}[variant]
+        return cls(a[0], n=a[1], inner=inner, deploy=deploy, name=name)
+    if n == "RobustConv":
+        return Z.RobustConv(a[0], *(a[1:3]), deploy=deploy, name=name)
+    if n == "RobustConv2":
+        return Z.RobustConv2(a[0], *(a[1:3]), deploy=deploy, name=name)
+    if n == "CrossConv":
+        return Z.CrossConv(a[0], *(a[1:5]), deploy=deploy, name=name)
+    if n == "MixConv2d":
+        return Z.MixConv2d(a[0], tuple(a[1]) if len(a) > 1 else (1, 3),
+                           a[2] if len(a) > 2 else 1, name=name)
+    if n == "Sum":
+        return Z.Sum(a[0], weight=a[1], name=name)
+    if n == "SpConv2d":
+        return Z.SpConv2d(a[0], *(a[1:4]), name=name)
+    if n == "stem":
+        return Z.EffStem(a[0], *(a[1:3]), name=name)
+    if n == "DropPath":
+        return Z.DropPath(a[0], name=name)
+    if n == "Res":
+        return Z.Res(a[0], deploy=deploy, name=name)
+    if n == "ResX":
+        return Z.Res(a[0], g=32, deploy=deploy, name=name)
+    if n == "Ghost":
+        return Z.Ghost(a[0], *(a[1:3]), deploy=deploy, name=name)
+    if n == "RepBottleneck":
+        return Z.RepBottleneck(a[0], deploy=deploy, name=name)
+    if n == "RepRes":
+        return Z.RepRes(a[0], deploy=deploy, name=name)
+    if n == "RepResX":
+        return Z.RepRes(a[0], g=32, deploy=deploy, name=name)
+    if n == "GhostSPPCSPC":
+        return Z.GhostSPPCSPC(a[0], n=a[1], deploy=deploy, name=name)
+    if n == "GhostStem":
+        return Z.GhostStem(a[0], deploy=deploy, name=name)
+    if n == "SPPFCSPC":
+        return Z.SPPFCSPC(a[0], k=a[1] if len(a) > 1 else 5,
+                          deploy=deploy, name=name)
+    if n == "ASPP":
+        return Z.ASPP(a[0], name=name)
+    if n == "CBAMC3":
+        return Z.CBAMC3(a[0], n=a[1], deploy=deploy, name=name)
+    if n == "InvertedResidual":
+        return Z.InvertedResidual(a[0], s=a[1] if len(a) > 1 else 1,
+                                  expand_ratio=a[2] if len(a) > 2 else 6,
+                                  name=name)
+    if n == "Classify":
+        return Z.Classify(a[0], name=name)
+    if n == "TransformerBlock":
+        return T.TransformerBlock(a[0], a[1], a[2], deploy=deploy, name=name)
+    if n == "SwinTransformerBlock":
+        return T.SwinTransformerBlock(a[0], a[1], a[2],
+                                      ws=a[3] if len(a) > 3 else 8,
+                                      deploy=deploy, name=name)
+    if n == "SwinTransformer2Block":
+        return T.SwinTransformerBlock(a[0], a[1], a[2],
+                                      ws=a[3] if len(a) > 3 else 7, v2=True,
+                                      deploy=deploy, name=name)
+    if n == "SwinTransformerBlock_Vertical":
+        return T.SwinTransformerBlockVertical(a[0], a[1], a[2],
+                                              ws=a[3] if len(a) > 3 else 7,
+                                              deploy=deploy, name=name)
+    if n == "C3STR":
+        return T.C3STR(a[0], n=a[1], deploy=deploy, name=name)
+    if n.startswith("STCSP") or n.startswith("ST2CSP"):
+        variant = n[-1]
+        return T._STCSP(a[0], n=a[1], variant=variant,
+                        v2=n.startswith("ST2"), deploy=deploy, name=name)
+    if n == "RepConv_OREPA":
+        return O.RepConvOREPA(spec.c1, a[0], deploy=deploy, name=name)
+    if n == "OREPA_3x3_RepConv":
+        return O.OREPA3x3RepConv(a[0], a[1] if len(a) > 1 else 3,
+                                 a[2] if len(a) > 2 else 1,
+                                 deploy=deploy, name=name)
+    if n == "VoVGSCSPC":
+        return B.VoVGSCSP(a[0], cheap=True, deploy=deploy, name=name)
+    if n == "GSBottleneck":
+        return B.GSBottleneck(a[0], deploy=deploy, name=name)
+    if n == "GSBottleneckC":
+        return B.GSBottleneck(a[0], cheap=True, deploy=deploy, name=name)
     if n == "Detect":
         return heads_lib.Detect(nc=a[0], anchors=a[1], ch=a[2], name=name)
     if n == "IDetect":
@@ -92,6 +188,14 @@ def build_module(spec: LayerSpec, deploy: bool) -> nn.Module:
     if n == "IAuxDetect":
         return heads_lib.IAuxDetect(nc=a[0], anchors=a[1], ch=a[2],
                                     deploy=deploy, name=name)
+    if n == "IBin":
+        return heads_lib.IBin(nc=a[0], anchors=a[1], ch=a[2],
+                              bin_count=a[3] if len(a) > 3 else 21,
+                              deploy=deploy, name=name)
+    if n == "IKeypoint":
+        return heads_lib.IKeypoint(nc=a[0], anchors=a[1], ch=a[2],
+                                   nkpt=a[3] if len(a) > 3 else 17,
+                                   deploy=deploy, name=name)
     raise ValueError(f"no builder for module {n!r}")
 
 
@@ -122,6 +226,16 @@ class DetectionNet(nn.Module):
                 y = inp[0] + inp[1]  # broadcasts CA's (B,1,1,C) quirk output
             elif n == "Shortcut":
                 y = inp[0] + inp[1]
+            elif n == "Chuncat":
+                y = Z.chuncat(inp)
+            elif n == "Foldcut":
+                y = Z.foldcut(inp)
+            elif n == "Contract":
+                y = Z.contract(inp, spec.args[0] if spec.args else 2)
+            elif n == "Expand":
+                y = Z.expand(inp, spec.args[0] if spec.args else 2)
+            elif n == "ReOrg":
+                y = B.ReOrg()(inp)
             elif n == "MP":
                 y = B.max_pool(inp, 2, 2)
             elif n == "SP":

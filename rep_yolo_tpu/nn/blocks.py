@@ -395,12 +395,17 @@ class GSConv(nn.Module):
 
 
 class GSBottleneck(nn.Module):
-    """GSConv bottleneck with 1x1 conv shortcut (reference models/common.py:3827-3838)."""
+    """GSConv bottleneck with 1x1 conv shortcut (reference models/common.py:3827-3838).
+
+    ``cheap=True`` gives GSBottleneckC: depthwise-conv shortcut instead
+    (reference models/common.py:3840-3844).
+    """
 
     c2: int
     k: int = 3
     s: int = 1
     e: float = 0.5
+    cheap: bool = False
     deploy: bool = False
 
     @nn.compact
@@ -408,8 +413,13 @@ class GSBottleneck(nn.Module):
         c_ = int(self.c2 * self.e)
         y = GSConv(c_, 1, 1, deploy=self.deploy, name="gs1")(x, train)
         y = GSConv(self.c2, 3, 1, act=None, deploy=self.deploy, name="gs2")(y, train)
-        sc = ConvBnAct(self.c2, 1, 1, act=None, deploy=self.deploy,
-                       name="shortcut")(x, train)
+        if self.cheap:
+            sc = ConvBnAct(self.c2, self.k, self.s,
+                           g=dw_groups(x.shape[-1], self.c2), act=None,
+                           deploy=self.deploy, name="shortcut")(x, train)
+        else:
+            sc = ConvBnAct(self.c2, 1, 1, act=None, deploy=self.deploy,
+                           name="shortcut")(x, train)
         return y + sc
 
 
@@ -425,14 +435,21 @@ class VoVGSCSP(nn.Module):
     shortcut: bool = True
     g: int = 1
     e: float = 0.5
+    cheap: bool = False
     deploy: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         c_ = int(self.c2 * self.e)
         x1 = ConvBnAct(c_, 1, 1, deploy=self.deploy, name="cv1")(x, train)
-        for i in range(self.n):
-            x1 = GSBottleneck(c_, e=1.0, deploy=self.deploy, name=f"gsb_{i}")(x1, train)
+        if self.cheap:
+            # VoVGSCSPC: one GSBottleneckC(k=1,s=1) (models/common.py:3863-3868)
+            x1 = GSBottleneck(c_, 1, 1, e=1.0, cheap=True, deploy=self.deploy,
+                              name="gsb_0")(x1, train)
+        else:
+            for i in range(self.n):
+                x1 = GSBottleneck(c_, e=1.0, deploy=self.deploy,
+                                  name=f"gsb_{i}")(x1, train)
         y = ConvBnAct(c_, 1, 1, deploy=self.deploy, name="cv2")(x, train)
         return ConvBnAct(self.c2, 1, deploy=self.deploy, name="cv3")(
             jnp.concatenate([y, x1], axis=-1), train)

@@ -155,6 +155,14 @@ def fuse_variables(variables: dict) -> dict:
             return fuse_repconv_node(p, s), None
         if "rbr_conv_0_conv" in p:
             return fuse_reps_node(p, s), None
+        if "rbr_dense" in p and "w_origin" in p.get("rbr_dense", {}):
+            from rep_yolo_tpu.nn.orepa import fuse_orepa_repconv_node
+
+            return fuse_orepa_repconv_node(p, s), None
+        if "w_origin" in p:
+            from rep_yolo_tpu.nn.orepa import fuse_orepa_standalone_node
+
+            return fuse_orepa_standalone_node(p, s), None
         if any(k.startswith("ia_") for k in p) or (
                 "m_0" in p and _is_leaf_dict(p["m_0"]) and "kernel" in p["m_0"]):
             return fuse_idetect_node(p), None
