@@ -152,6 +152,122 @@ class IAuxDetect(nn.Module):
         return lead + aux
 
 
+class IBin(nn.Module):
+    """Binned-regression detect head (reference models/yolo.py:421-494):
+    width/height are predicted as SigmoidBin(bin_count, 0..4) encodings
+    instead of direct regression; xy/obj/cls as in IDetect.
+    Raw output layout per anchor: [x, y, w_bin(22), h_bin(22), obj, cls...].
+    """
+
+    nc: int
+    anchors: tuple
+    ch: tuple
+    bin_count: int = 21
+    deploy: bool = False
+
+    @property
+    def nl(self) -> int:
+        return len(self.anchors)
+
+    @property
+    def na(self) -> int:
+        return len(self.anchors[0]) // 2
+
+    @property
+    def bin_length(self) -> int:
+        return self.bin_count + 1
+
+    @property
+    def no(self) -> int:
+        # nc + x,y,obj + two bin encodings (reference models/yolo.py:432-435)
+        return self.nc + 3 + 2 * self.bin_length
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        outs = []
+        for i, x in enumerate(xs):
+            if not self.deploy:
+                ia = self.param(f"ia_{i}", implicit_init(0.0), (1, 1, 1, self.ch[i]))
+                x = x + ia
+            y = _head_conv(self.no * self.na, self.ch[i], f"m_{i}")(x)
+            if not self.deploy:
+                im = self.param(f"im_{i}", implicit_init(1.0),
+                                (1, 1, 1, self.no * self.na))
+                y = y * im
+            b, h, w, _ = y.shape
+            outs.append(y.reshape(b, h, w, self.na, self.no))
+        return outs
+
+
+class IKeypoint(nn.Module):
+    """Keypoint head (reference models/yolo.py:202-300): implicit-wrapped
+    detect conv for [box+obj+cls] plus a keypoint conv emitting
+    3*nkpt channels (x, y, conf per keypoint), channel-concatenated.
+    """
+
+    nc: int
+    anchors: tuple
+    ch: tuple
+    nkpt: int = 17
+    dw_conv_kpt: bool = False
+    deploy: bool = False
+
+    @property
+    def nl(self) -> int:
+        return len(self.anchors)
+
+    @property
+    def na(self) -> int:
+        return len(self.anchors[0]) // 2
+
+    @property
+    def no_det(self) -> int:
+        return self.nc + 5
+
+    @property
+    def no_kpt(self) -> int:
+        return 3 * self.nkpt
+
+    @property
+    def no(self) -> int:
+        return self.no_det + self.no_kpt
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        from rep_yolo_tpu.nn.blocks import ConvBnAct, dw_groups
+
+        outs = []
+        for i, x in enumerate(xs):
+            det_in = x
+            if not self.deploy:
+                ia = self.param(f"ia_{i}", implicit_init(0.0), (1, 1, 1, self.ch[i]))
+                det_in = det_in + ia
+            det = _head_conv(self.no_det * self.na, self.ch[i], f"m_{i}")(det_in)
+            if not self.deploy:
+                im = self.param(f"im_{i}", implicit_init(1.0),
+                                (1, 1, 1, self.no_det * self.na))
+                det = det * im
+            if self.dw_conv_kpt:
+                # 6x (DWConv3x3 + Conv1x1) refinement stack then 1x1
+                # (reference models/yolo.py:228-234)
+                k = x
+                c = self.ch[i]
+                for j in range(6):
+                    k = ConvBnAct(c, 3, 1, g=dw_groups(c, c),
+                                  name=f"m_kpt_{i}_dw{j}")(k, train)
+                    if j < 5:
+                        k = ConvBnAct(c, 1, 1, name=f"m_kpt_{i}_pw{j}")(k, train)
+                kpt = _head_conv(self.no_kpt * self.na, c, f"m_kpt_{i}")(k)
+            else:
+                kpt = _head_conv(self.no_kpt * self.na, self.ch[i],
+                                 f"m_kpt_{i}")(x)
+            b, h, w, _ = det.shape
+            det = det.reshape(b, h, w, self.na, self.no_det)
+            kpt = kpt.reshape(b, h, w, self.na, self.no_kpt)
+            outs.append(jnp.concatenate([det, kpt], axis=-1))
+        return outs
+
+
 def make_grid(ny: int, nx: int, dtype=jnp.float32) -> jax.Array:
     """(ny, nx, 2) grid of (x, y) cell indices (reference models/yolo.py:184-187)."""
     ys = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
@@ -185,3 +301,45 @@ def decode_predictions(ps: Sequence[jax.Array], anchors_px: jax.Array,
     """
     outs = [decode_level(p, anchors_px[i], strides[i]) for i, p in enumerate(ps)]
     return jnp.concatenate(outs, axis=1)
+
+
+def decode_level_bin(p: jax.Array, anchors_px: jax.Array, stride: float,
+                     bin_count: int = 21, nc: int = 1) -> jax.Array:
+    """Decode one IBin raw map to (B, H*W*na, nc+5) pixel predictions
+    (reference models/yolo.py:460-489): xy as usual; w/h via SigmoidBin
+    over the post-sigmoid map, scaled by the anchor."""
+    from rep_yolo_tpu.ops.sigmoid_bin import SigmoidBinSpec
+
+    spec = SigmoidBinSpec(bin_count=bin_count, vmin=0.0, vmax=4.0)
+    L = spec.length
+    b, h, w, na, no = p.shape
+    y = jax.nn.sigmoid(p)
+    grid = make_grid(h, w, y.dtype)[None, :, :, None, :]
+    xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * stride
+    pw = spec.forward(y[..., 2:2 + L]) * anchors_px[None, None, None, :, 0]
+    ph = spec.forward(y[..., 2 + L:2 + 2 * L]) \
+        * anchors_px[None, None, None, :, 1]
+    rest = y[..., 2 + 2 * L:]                      # obj, cls...
+    out = jnp.concatenate([xy, pw[..., None], ph[..., None], rest], axis=-1)
+    return out.transpose(0, 3, 1, 2, 4).reshape(b, na * h * w, nc + 5)
+
+
+def decode_level_kpt(p: jax.Array, anchors_px: jax.Array, stride: float,
+                     nc: int, nkpt: int) -> jax.Array:
+    """Decode one IKeypoint raw map to (B, H*W*na, nc+5+3*nkpt)
+    (reference models/yolo.py:255-284): det part as IDetect; keypoint
+    x/y decoded WITHOUT sigmoid (raw * 2 - 0.5 + grid) * stride, keypoint
+    conf sigmoided."""
+    b, h, w, na, no = p.shape
+    no_det = nc + 5
+    det = jax.nn.sigmoid(p[..., :no_det])
+    kpt = p[..., no_det:]
+    grid = make_grid(h, w, det.dtype)[None, :, :, None, :]
+    xy = (det[..., 0:2] * 2.0 - 0.5 + grid) * stride
+    wh = (det[..., 2:4] * 2.0) ** 2 * anchors_px.astype(det.dtype)[None, None, None]
+    kx = (kpt[..., 0::3] * 2.0 - 0.5 + grid[..., 0:1]) * stride
+    ky = (kpt[..., 1::3] * 2.0 - 0.5 + grid[..., 1:2]) * stride
+    kc = jax.nn.sigmoid(kpt[..., 2::3])
+    kpts = jnp.stack([kx, ky, kc], axis=-1).reshape(*kpt.shape[:-1], 3 * nkpt)
+    out = jnp.concatenate([xy, wh, det[..., 4:], kpts], axis=-1)
+    return out.transpose(0, 3, 1, 2, 4).reshape(b, na * h * w, no)

@@ -220,13 +220,24 @@ def compute_loss(preds: Sequence[jax.Array], targets: jax.Array,
 # simOTA
 # ---------------------------------------------------------------------------
 
+def _standard_wh_obj_cls(ps, cand, stride, cfg):
+    """Default candidate decode: wh = (2*sigmoid)^2 * anchor; layout
+    [x,y,w,h,obj,cls...]."""
+    pwh = ((jax.nn.sigmoid(ps[..., 2:4]) * 2.0) ** 2
+           * cand.anchor[None, None, :, None, :] * stride)
+    return pwh, ps[..., 4:5], ps[..., 5:]
+
+
 def _ota_match(targets, tmask, cands: Sequence[Candidates],
                preds: Sequence[jax.Array], strides, img_size: int,
-               cfg: LossConfig, top_candidates: int = 10):
+               cfg: LossConfig, top_candidates: int = 10,
+               wh_obj_cls=_standard_wh_obj_cls):
     """Vectorized simOTA matching (reference utils/loss.py:644-799).
 
     Returns per-level (fg mask (B,C_l), matched target idx (B,C_l)) where
-    C_l = M*na*5 flattened candidates of that level.
+    C_l = M*na*5 flattened candidates of that level. `wh_obj_cls`
+    customises the candidate decode (IBin's binned wh, reference
+    utils/loss.py:940-1000).
     """
     B, M = tmask.shape
     nl = len(preds)
@@ -238,11 +249,10 @@ def _ota_match(targets, tmask, cands: Sequence[Candidates],
         C = M * cand.gi.shape[2] * 5
         gij = jnp.stack([cand.gi, cand.gj], -1).astype(jnp.float32)
         pxy = (jax.nn.sigmoid(ps[..., :2]) * 2.0 - 0.5 + gij) * strides[i]
-        pwh = ((jax.nn.sigmoid(ps[..., 2:4]) * 2.0) ** 2
-               * cand.anchor[None, None, :, None, :] * strides[i])
+        pwh, p_obj, p_cls = wh_obj_cls(ps, cand, strides[i], cfg)
         pxyxy = xywh2xyxy(jnp.concatenate([pxy, pwh], -1)).reshape(B, C, 4)
-        p_obj = ps[..., 4:5].reshape(B, C, 1)
-        p_cls = ps[..., 5:].reshape(B, C, cfg.nc)
+        p_obj = p_obj.reshape(B, C, 1)
+        p_cls = p_cls.reshape(B, C, cfg.nc)
         valid = cand.valid.reshape(B, C)
         # the target index each candidate was spawned from
         tidx = jnp.broadcast_to(
@@ -396,6 +406,99 @@ def compute_loss_aux_ota(preds: Sequence[jax.Array], targets: jax.Array,
                                  targets, cfg, cfg.balance[i],
                                  cfg.aux_weight)
         lbox, lobj, lcls = lbox + lb, lobj + lo, lcls + lc
+
+    lbox = lbox * cfg.box_gain
+    lobj = lobj * cfg.obj_gain
+    lcls = lcls * cfg.cls_gain
+    total = lbox + lobj + lcls
+    comps = {"box": lbox, "obj": lobj, "cls": lcls, "total": total}
+    return total * B, comps
+
+
+def compute_loss_bin_ota(preds: Sequence[jax.Array], targets: jax.Array,
+                         tmask: jax.Array, anchors_grid, strides,
+                         img_size: int, cfg: LossConfig,
+                         bin_count: int = 21):
+    """simOTA loss for the IBin head (reference utils/loss.py:855-1181):
+    raw layout per anchor [x, y, w_bin(L), h_bin(L), obj, cls...] with
+    L = bin_count+1. Box loss = SigmoidBin BCE+MSE on the w/h ratio
+    (target wh / anchor wh, clamped to the bin range [0,4]) PLUS CIoU on
+    the decoded box; obj/cls identical to OTA.
+    """
+    from rep_yolo_tpu.ops.sigmoid_bin import SigmoidBinSpec
+
+    spec = SigmoidBinSpec(bin_count=bin_count, vmin=0.0, vmax=4.0)
+    L = spec.length
+    B, M = tmask.shape
+    anchors_grid = jnp.asarray(anchors_grid)
+
+    def bin_wh_obj_cls(ps, cand, stride, cfg):
+        anc = cand.anchor[None, None, :, None, :]
+        pw = spec.forward(jax.nn.sigmoid(ps[..., 2:2 + L])) * anc[..., 0]
+        ph = spec.forward(jax.nn.sigmoid(ps[..., 2 + L:2 + 2 * L])) \
+            * anc[..., 1]
+        pwh = jnp.stack([pw, ph], -1) * stride
+        return pwh, ps[..., 2 + 2 * L:3 + 2 * L], ps[..., 3 + 2 * L:]
+
+    cands = [find_3_positive(targets, tmask, (p.shape[1], p.shape[2]),
+                             anchors_grid[i], cfg.anchor_t)
+             for i, p in enumerate(preds)]
+    matches = _ota_match(targets, tmask, cands, preds, strides, img_size,
+                         cfg, wh_obj_cls=bin_wh_obj_cls)
+
+    lbox = lobj = lcls = 0.0
+    for i, (pi, cand) in enumerate(zip(preds, cands)):
+        fg, mgt = matches[i]
+        H, W = pi.shape[1], pi.shape[2]
+        na = cand.gi.shape[2]
+        C = fg.shape[1]
+        gi = cand.gi.reshape(B, C)
+        gj = cand.gj.reshape(B, C)
+        a = jnp.broadcast_to(
+            jnp.arange(na)[None, :, None], cand.valid.shape[1:]).reshape(1, C)
+        a = jnp.broadcast_to(a, (B, C))
+        anchor = cand.anchor[a.reshape(-1)].reshape(B, C, 2)
+        b_idx = jnp.arange(B)[:, None]
+        ps = pi[b_idx, gj, gi, a]
+
+        gain = jnp.asarray([W, H, W, H], jnp.float32)
+        t_sel = jnp.take_along_axis(targets, mgt[..., None], axis=1)
+        tbox = t_sel[..., 1:5] * gain
+        grid = jnp.stack([gi, gj], -1).astype(jnp.float32)
+        tbox = tbox.at[..., :2].add(-grid)
+
+        # binned wh regression on the wh/anchor ratio
+        # (reference utils/loss.py:1063-1073)
+        tw = jnp.clip(tbox[..., 2] / anchor[..., 0], spec.vmin, spec.vmax)
+        th = jnp.clip(tbox[..., 3] / anchor[..., 1], spec.vmin, spec.vmax)
+        w_loss, pw_ratio = spec.training_loss(ps[..., 2:2 + L], tw, fg)
+        h_loss, ph_ratio = spec.training_loss(ps[..., 2 + L:2 + 2 * L], th, fg)
+        lbox = lbox + w_loss + h_loss
+
+        pxy = jax.nn.sigmoid(ps[..., :2]) * 2.0 - 0.5
+        pwh = jnp.stack([pw_ratio * anchor[..., 0],
+                         ph_ratio * anchor[..., 1]], -1)
+        pbox = jnp.concatenate([pxy, pwh], -1)
+        iou = bbox_iou(pbox, tbox, xywh=True, CIoU=True)
+        lbox = lbox + masked_mean(1.0 - iou, fg)
+
+        tobj = jnp.zeros(pi.shape[:4], pi.dtype)
+        obj_val = (1.0 - cfg.gr) + cfg.gr * jnp.clip(
+            jax.lax.stop_gradient(iou), 0.0, None)
+        gj_ = jnp.where(fg, gj, H)
+        tobj = tobj.at[jnp.broadcast_to(b_idx, (B, C)).reshape(-1),
+                       gj_.reshape(-1), gi.reshape(-1),
+                       a.reshape(-1)].set(obj_val.reshape(-1), mode="drop")
+        lobj = lobj + _obj_bce(pi[..., 2 + 2 * L], tobj, cfg).mean() \
+            * cfg.balance[i]
+
+        if cfg.nc > 1:
+            cls_ids = t_sel[..., 0].astype(jnp.int32)
+            t = jnp.full((B, C, cfg.nc), cfg.cn, pi.dtype)
+            t = t + (cfg.cp - cfg.cn) * jax.nn.one_hot(cls_ids, cfg.nc,
+                                                       dtype=pi.dtype)
+            ce = _cls_bce(ps[..., 3 + 2 * L:], t, cfg).mean(-1)
+            lcls = lcls + masked_mean(ce, fg) * cfg.nc
 
     lbox = lbox * cfg.box_gain
     lobj = lobj * cfg.obj_gain
