@@ -22,7 +22,8 @@ def parse_args(argv=None):
     p.add_argument("--conf-thres", type=float, default=0.001)
     p.add_argument("--iou-thres", type=float, default=0.65)
     p.add_argument("--nc", type=int, default=1)
-    p.add_argument("--task", default="val", choices=["val", "test", "speed"])
+    p.add_argument("--task", default="val",
+                   choices=["val", "test", "speed", "study"])
     p.add_argument("--no-fuse", action="store_true")
     return p.parse_args(argv)
 
@@ -37,6 +38,25 @@ def main(argv=None):
         args.conf_thres, args.iou_thres = 0.25, 0.45
 
     model, variables = load_model_and_vars(args)
+
+    if args.task == "study":   # resolution sweep (reference test.py:339-352)
+        rows = []
+        for sz in range(256, 1536 + 128, 128):
+            ds = DetectionDataset.from_path(args.data, sz, args.nc)
+            res = evaluate(model, variables, ds,
+                           batch_size=args.batch_size, img_size=sz,
+                           conf_thres=args.conf_thres,
+                           iou_thres=args.iou_thres)
+            rows.append([sz, res.mp, res.mr, res.map50, res.map,
+                         res.speed_ms[0], res.speed_ms[1]])
+            print(f"study @{sz}px: mAP50={res.map50:.4f} "
+                  f"mAP={res.map:.4f} {res.speed_ms[0]:.1f} ms/img")
+        out_file = Path(f"study_{Path(args.data).name}.txt")
+        out_file.write_text("\n".join(
+            " ".join(f"{v:.6g}" for v in r) for r in rows) + "\n")
+        print(f"saved {out_file}")
+        return rows
+
     ds = DetectionDataset.from_path(args.data, args.img_size, args.nc)
     res = evaluate(model, variables, ds, batch_size=args.batch_size,
                    img_size=args.img_size, conf_thres=args.conf_thres,

@@ -39,6 +39,12 @@ def parse_args(argv=None):
                    help="train with auxiliary heads + aux-OTA loss "
                         "(train_aux.py path; use an IAuxDetect cfg)")
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--multi-scale", action="store_true",
+                   help="train over static size buckets in ~[0.67,1.33]x "
+                        "img-size (reference train.py:365-370)")
+    p.add_argument("--image-weights", action="store_true",
+                   help="resample images per epoch by class-error weights "
+                        "(reference train.py:324-335)")
     p.add_argument("--project", default="runs/train")
     p.add_argument("--name", default="exp")
     p.add_argument("--resume", default=None)
@@ -128,24 +134,63 @@ def main(argv=None):
 
     loss_mode = ("aux_ota" if args.aux
                  else ("classic" if args.no_ota else "ota"))
-    step_fn = make_train_step(model, loss_cfg, opt_cfg, args.img_size,
-                              augment_fn=augment_fn, loss_mode=loss_mode)
-    step_fn = jax.jit(step_fn, donate_argnums=(0,))
+    if args.multi_scale:
+        from rep_yolo_tpu.train.trainer import make_multiscale_train_steps
+
+        steps = make_multiscale_train_steps(
+            model, loss_cfg, opt_cfg, args.img_size,
+            augment_fn=augment_fn, loss_mode=loss_mode)
+        # donation is unsafe across programs of different shapes: the state
+        # buffers are shared by every bucket's executable
+        steps = {s: jax.jit(f) for s, f in steps.items()}
+        sizes = list(steps)
+        ms_rng = np.random.default_rng(args.seed + 7)
+
+        def step_fn(state, *batch):
+            return steps[ms_rng.choice(sizes)](state, *batch)
+    else:
+        step_fn = make_train_step(model, loss_cfg, opt_cfg, args.img_size,
+                                  augment_fn=augment_fn, loss_mode=loss_mode)
+        step_fn = jax.jit(step_fn, donate_argnums=(0,))
 
     state = create_train_state(variables, jax.random.PRNGKey(args.seed + 1))
+    start_epoch = 0
+    if args.resume:
+        # restore full TrainState + epoch pointer (reference train.py:216-241)
+        from rep_yolo_tpu.train.checkpoint import load_checkpoint
+
+        state = load_checkpoint(args.resume, state)
+        meta_path = Path(args.resume).with_suffix(".json")
+        if meta_path.exists():
+            start_epoch = json.loads(meta_path.read_text()).get("epoch", -1) + 1
+        print(f"resumed {args.resume} at epoch {start_epoch}")
 
     from rep_yolo_tpu.utils.logger import RunLogger
 
     logger = RunLogger(out_dir)
     logger.log_config("hyp", hyp)
 
+    if args.image_weights:
+        from rep_yolo_tpu.utils.general import (labels_to_class_weights,
+                                                labels_to_image_weights)
+
+        class_w = labels_to_class_weights(ds.labels, model.cfg.nc)
+
     best_fitness = 0.0
+    maps = np.zeros(model.cfg.nc)  # per-class mAP for image-weight updates
     results_file = out_dir / "results.txt"
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         mloss = np.zeros(4)
         count = 0
-        for batch in loader.epoch(epoch):
+        if args.image_weights and not args.native_loader:
+            # class error weights -> per-image weights (reference :326-330)
+            cw = class_w * (1 - maps) ** 2 / model.cfg.nc
+            iw = labels_to_image_weights(ds.labels, model.cfg.nc, cw)
+            batches = loader.epoch(epoch, image_weights=iw)
+        else:
+            batches = loader.epoch(epoch)
+        for batch in batches:
             state, comps = step_fn(
                 state, jnp.asarray(batch["images"]),
                 jnp.asarray(batch["hw"]), jnp.asarray(batch["labels"]),
@@ -171,6 +216,9 @@ def main(argv=None):
                            img_size=args.img_size)
             print(f"  eval: P {res.mp:.3f} R {res.mr:.3f} "
                   f"mAP50 {res.map50:.3f} mAP {res.map:.3f}")
+            for c, d in res.per_class.items():
+                if 0 <= c < len(maps):
+                    maps[c] = d.get("ap", 0.0)
             logger.log_scalars(epoch, {"val/P": res.mp, "val/R": res.mr,
                                        "val/mAP50": res.map50,
                                        "val/mAP": res.map,

@@ -45,7 +45,10 @@ class AugmentConfig:
     flipud: float = 0.0
     fliplr: float = 0.5
     mosaic: float = 1.0
+    mosaic9: float = 0.2     # P(use 9-mosaic | mosaic) (reference :572)
     mixup: float = 0.15
+    paste_in: float = 0.15   # copy-paste prob (reference hyp paste_in)
+    cutout: float = 0.0      # reference defines cutout but ships it off
     max_labels: int = 120
 
 
@@ -286,6 +289,162 @@ def _one_mosaic(imgs4, hw4, labels4, mask4, key, cfg: AugmentConfig):
     return img, cls, new, valid
 
 
+def _mosaic9_sample_fn(imgs9: jax.Array, hw9: jax.Array):
+    """Sampler over a 3s x 3s nine-tile canvas. The reference packs tiles
+    tightly by content size around the center image
+    (reference load_mosaic9, utils/datasets.py:767-891); here tiles sit on
+    a uniform 3x3 grid of s-cells (content top-left per cell) — the same
+    augmentation family with static shapes, since our inputs are already
+    s-padded."""
+    S = imgs9.shape[1]
+    h = hw9[:, 0]
+    w = hw9[:, 1]
+
+    def sample(cy, cx):
+        row = jnp.clip(cy // S, 0, 2).astype(jnp.int32)
+        col = jnp.clip(cx // S, 0, 2).astype(jnp.int32)
+        tile = row * 3 + col
+        sx = cx - col * S
+        sy = cy - row * S
+        ok = (sx >= 0) & (sx < w[tile]) & (sy >= 0) & (sy < h[tile])
+        sxc = jnp.clip(sx, 0, S - 1).astype(jnp.int32)
+        syc = jnp.clip(sy, 0, S - 1).astype(jnp.int32)
+        val = imgs9[tile, syc, sxc]
+        return jnp.where(ok[..., None], val, PAD_VALUE), ok
+
+    return sample
+
+
+def _one_mosaic9(imgs9, hw9, labels9, mask9, key, cfg: AugmentConfig):
+    """One mosaic-9 + affine sample: imgs9 (9,S,S,3), labels9 (9,M,5)."""
+    S = cfg.img_size
+    k_center, k_aff = jax.random.split(key)
+    # random crop center on the 3s canvas (reference :873-878 crops
+    # [yc:yc+2s, xc:xc+2s] then treats it like the 2s mosaic canvas)
+    M = _affine_matrix(k_aff, S, cfg, canvas=3 * S)
+    persp = cfg.perspective != 0.0
+    img = _warp(_mosaic9_sample_fn(imgs9, hw9), M, S, persp)
+
+    h = hw9[:, 0][:, None]
+    w = hw9[:, 1][:, None]
+    rows = (jnp.arange(9) // 3).astype(jnp.float32)[:, None]
+    cols = (jnp.arange(9) % 3).astype(jnp.float32)[:, None]
+    padw = cols * S
+    padh = rows * S
+    cls = labels9[..., 0]
+    bx = labels9[..., 1] * w
+    by = labels9[..., 2] * h
+    bw = labels9[..., 3] * w
+    bh = labels9[..., 4] * h
+    xyxy = jnp.stack([bx - bw / 2 + padw, by - bh / 2 + padh,
+                      bx + bw / 2 + padw, by + bh / 2 + padh], axis=-1)
+    xyxy = jnp.clip(xyxy.reshape(-1, 4), 0, 3 * S)      # (9M, 4)
+    valid = mask9.reshape(-1)
+    scale_s = jnp.sqrt(M[0, 0] ** 2 + M[1, 0] ** 2)
+    new, valid = _transform_labels(xyxy, valid, M, S, scale_s, persp)
+    return img, cls.reshape(-1), new, valid
+
+
+# cutout box-scale schedule (reference utils/datasets.py:1140):
+# 1x 1/2, 2x 1/4, 4x 1/8, 8x 1/16, 16x 1/32
+_CUTOUT_SCALES = [0.5] * 1 + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8 \
+    + [0.03125] * 16
+
+
+def cutout(img: jax.Array, xyxy: jax.Array, valid: jax.Array,
+           key: jax.Array):
+    """Random-erase augmentation (reference utils/datasets.py:1133-1158):
+    31 random boxes filled with random gray-ish colors; labels whose
+    intersection-over-area with any cut box exceeds 0.60 are dropped.
+    img: (S,S,3) float 0-255; xyxy in pixels."""
+    S = img.shape[0]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+
+    for i, sc in enumerate(_CUTOUT_SCALES):
+        k1, k2, k3, key = jax.random.split(jax.random.fold_in(key, i), 4)
+        mh = jax.random.randint(k1, (), int(S * sc * 0.5),
+                                max(int(S * sc), 1) + 1)
+        mw = jax.random.randint(k2, (), int(S * sc * 0.5),
+                                max(int(S * sc), 1) + 1)
+        cy = jax.random.randint(k3, (2,), 0, S)
+        x1 = jnp.clip(cy[1] - mw // 2, 0, S)
+        y1 = jnp.clip(cy[0] - mh // 2, 0, S)
+        x2 = jnp.clip(x1 + mw, 0, S)
+        y2 = jnp.clip(y1 + mh, 0, S)
+        box_mask = (ys >= y1) & (ys < y2) & (xs >= x1) & (xs < x2)
+        color = jax.random.randint(jax.random.fold_in(key, 7 * i), (3,),
+                                   64, 191).astype(img.dtype)
+        img = jnp.where(box_mask[..., None], color, img)
+        # ioa of the cut box with each label (reference bbox_ioa :1147-1153)
+        ix1 = jnp.maximum(xyxy[:, 0], x1)
+        iy1 = jnp.maximum(xyxy[:, 1], y1)
+        ix2 = jnp.minimum(xyxy[:, 2], x2)
+        iy2 = jnp.minimum(xyxy[:, 3], y2)
+        inter = jnp.clip(ix2 - ix1, 0, None) * jnp.clip(iy2 - iy1, 0, None)
+        area = jnp.clip((xyxy[:, 2] - xyxy[:, 0])
+                        * (xyxy[:, 3] - xyxy[:, 1]), 1e-9, None)
+        valid = valid & ((inter / area) < 0.60)
+    return img, valid
+
+
+def paste_in(img: jax.Array, cls, xyxy, valid, partner_img: jax.Array,
+             p_cls, p_xyxy, p_valid, key: jax.Array, attempts: int = 8):
+    """Device copy-paste (reference `pastein`, utils/datasets.py:1161-1198):
+    paste up to `attempts` labeled regions from a partner image at random
+    locations, skipping pastes that overlap existing labels (IoA >= 0.3).
+    The reference pastes from a sample-label pool; here the pool is the
+    mosaic partner image in the same batch — same augmentation family with
+    static shapes. Appends `attempts` label slots (invalid when skipped)."""
+    S = img.shape[0]
+    ys = jax.lax.broadcasted_iota(jnp.float32, (S, S), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (S, S), 1)
+    M = p_xyxy.shape[0]
+
+    new_cls = []
+    new_box = []
+    new_ok = []
+    for j in range(attempts):
+        kj = jax.random.fold_in(key, j)
+        k1, k2 = jax.random.split(kj)
+        src_i = jax.random.randint(k1, (), 0, M)
+        sb = p_xyxy[src_i]
+        sw = jnp.clip(sb[2] - sb[0], 1.0, None)
+        sh = jnp.clip(sb[3] - sb[1], 1.0, None)
+        dst = jax.random.uniform(k2, (2,), minval=0.0, maxval=1.0) \
+            * jnp.stack([S - sw, S - sh])
+        dx, dy = dst[0], dst[1]
+        dbox = jnp.stack([dx, dy, dx + sw, dy + sh])
+
+        # IoA of the paste box with existing labels (reference :1174-1180)
+        ix1 = jnp.maximum(xyxy[:, 0], dbox[0])
+        iy1 = jnp.maximum(xyxy[:, 1], dbox[1])
+        ix2 = jnp.minimum(xyxy[:, 2], dbox[2])
+        iy2 = jnp.minimum(xyxy[:, 3], dbox[3])
+        inter = jnp.clip(ix2 - ix1, 0, None) * jnp.clip(iy2 - iy1, 0, None)
+        area = jnp.clip((xyxy[:, 2] - xyxy[:, 0])
+                        * (xyxy[:, 3] - xyxy[:, 1]), 1e-9, None)
+        ioa_ok = jnp.all(jnp.where(valid, inter / area, 0.0) < 0.30)
+        ok = p_valid[src_i] & ioa_ok
+
+        # shifted partner pixels: dest (y,x) reads partner at
+        # (y - dy + sy1, x - dx + sx1)
+        py = jnp.clip(ys - dy + sb[1], 0, S - 1).astype(jnp.int32)
+        px = jnp.clip(xs - dx + sb[0], 0, S - 1).astype(jnp.int32)
+        shifted = partner_img[py, px]
+        in_box = (xs >= dbox[0]) & (xs < dbox[2]) \
+            & (ys >= dbox[1]) & (ys < dbox[3])
+        img = jnp.where((in_box & ok)[..., None], shifted, img)
+        new_cls.append(p_cls[src_i])
+        new_box.append(dbox)
+        new_ok.append(ok)
+
+    cls = jnp.concatenate([cls, jnp.stack(new_cls)])
+    xyxy = jnp.concatenate([xyxy, jnp.stack(new_box)])
+    valid = jnp.concatenate([valid, jnp.stack(new_ok)])
+    return img, cls, xyxy, valid
+
+
 def _pack_labels(cls, xyxy, valid, size: int, max_labels: int):
     """Sort valid labels first and truncate to max_labels; convert to
     normalized xywh."""
@@ -312,19 +471,72 @@ def augment_batch(images: jax.Array, hw: jax.Array, labels: jax.Array,
     """
     B, S = images.shape[0], cfg.img_size
     images = images.astype(jnp.float32)
-    keys = jax.random.split(key, 6)
-    # mosaic partner indices (3 per image, drawn from the batch)
-    partners = jax.random.randint(keys[0], (B, 3), 0, B)
-    idx4 = jnp.concatenate([jnp.arange(B)[:, None], partners], axis=1)  # (B,4)
+    keys = jax.random.split(key, 8)
+    M_l = labels.shape[1]
+    # mosaic partner indices (8 per image: mosaic-9 needs 8 partners,
+    # mosaic-4 uses the first 3)
+    partners = jax.random.randint(keys[0], (B, 8), 0, B)
+    idx9 = jnp.concatenate([jnp.arange(B)[:, None], partners], axis=1)  # (B,9)
 
     def per_image(i, k):
-        sel = idx4[i]
-        img, cls, xyxy, valid = _one_mosaic(
-            images[sel], hw[sel], labels[sel], mask[sel], k, cfg)
-        return img, cls, xyxy, valid
+        sel = idx9[i]
+
+        def m4(_):
+            img, cls, xyxy, valid = _one_mosaic(
+                images[sel[:4]], hw[sel[:4]], labels[sel[:4]],
+                mask[sel[:4]], k, cfg)
+            pad = 5 * M_l                     # pad 4M -> 9M label slots
+            return (img, jnp.pad(cls, (0, pad)),
+                    jnp.pad(xyxy, ((0, pad), (0, 0))),
+                    jnp.pad(valid, (0, pad)))
+
+        def m9(_):
+            return _one_mosaic9(images[sel], hw[sel], labels[sel],
+                                mask[sel], k, cfg)
+
+        if cfg.mosaic9 > 0:
+            use9 = jax.random.uniform(jax.random.fold_in(k, 99)) < cfg.mosaic9
+            return jax.lax.cond(use9, m9, m4, None)
+        return m4(None)
 
     ks = jax.random.split(keys[1], B)
     img, cls, xyxy, valid = jax.vmap(per_image)(jnp.arange(B), ks)
+
+    # copy-paste (reference pastein, utils/datasets.py:1161-1198)
+    if cfg.paste_in > 0:
+        pidx = partners[:, 0]
+        p_h = hw[pidx, 0][:, None]
+        p_w = hw[pidx, 1][:, None]
+        p_cls = labels[pidx][..., 0]
+        p_xyxy = jnp.stack([
+            (labels[pidx][..., 1] - labels[pidx][..., 3] / 2) * p_w,
+            (labels[pidx][..., 2] - labels[pidx][..., 4] / 2) * p_h,
+            (labels[pidx][..., 1] + labels[pidx][..., 3] / 2) * p_w,
+            (labels[pidx][..., 2] + labels[pidx][..., 4] / 2) * p_h,
+        ], axis=-1)
+        kp = jax.random.split(keys[6], B)
+        active = jax.random.uniform(keys[7], (B,)) < cfg.paste_in
+
+        def pi(img_i, c, b, v, p_img, pc, pb, pv, k, act):
+            im2, c2, b2, v2 = paste_in(img_i, c, b, v, p_img, pc, pb,
+                                       pv & act, k)
+            return jnp.where(act, im2, img_i), c2, b2, v2
+
+        img, cls, xyxy, valid = jax.vmap(pi)(
+            img, cls, xyxy, valid, images[pidx], p_cls, p_xyxy,
+            mask[pidx], kp, active)
+
+    # cutout (reference utils/datasets.py:1133-1158; shipped disabled)
+    if cfg.cutout > 0:
+        kc = jax.random.split(jax.random.fold_in(keys[5], 3), B)
+        act = jax.random.uniform(jax.random.fold_in(keys[5], 4),
+                                 (B,)) < cfg.cutout
+
+        def co(img_i, b, v, k, a):
+            im2, v2 = cutout(img_i, b, v, k)
+            return jnp.where(a, im2, img_i), jnp.where(a, v2, v)
+
+        img, valid = jax.vmap(co)(img, xyxy, valid, kc, act)
 
     # mixup (reference :548-555): blend with a shifted copy of the batch
     do_mix = jax.random.uniform(keys[2], (B,)) < cfg.mixup

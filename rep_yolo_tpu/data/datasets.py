@@ -57,6 +57,20 @@ def discover_images(path: str | Path) -> list[str]:
     return files
 
 
+def read_image(path: str) -> np.ndarray:
+    """Decode an image file to RGB float32 HWC (cv2 with PIL fallback)."""
+    try:
+        import cv2
+
+        img = cv2.imread(path)
+        assert img is not None, f"image not found: {path}"
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+    except ImportError:
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"), np.float32)
+
+
 def load_label_file(path: str, nc: int) -> np.ndarray:
     """Parse one YOLO label txt -> (n,5) [cls,x,y,w,h]; verify like the
     reference cache (reference utils/datasets.py:477-509)."""
@@ -193,10 +207,18 @@ class Loader:
         n = len(self.ds) // self.num_shards
         return n // self.bs if self.drop_last else -(-n // self.bs)
 
-    def epoch(self, epoch: int = 0) -> Iterator[dict]:
-        idx = np.arange(len(self.ds))
-        if self.shuffle:
-            np.random.default_rng(self.seed + epoch).shuffle(idx)
+    def epoch(self, epoch: int = 0,
+              image_weights: "np.ndarray | None" = None) -> Iterator[dict]:
+        if image_weights is not None:
+            # weighted resample with replacement (reference train.py:324-330)
+            w = np.asarray(image_weights, np.float64)
+            w = w / max(w.sum(), 1e-12)
+            idx = np.random.default_rng(self.seed + epoch).choice(
+                len(self.ds), size=len(self.ds), replace=True, p=w)
+        else:
+            idx = np.arange(len(self.ds))
+            if self.shuffle:
+                np.random.default_rng(self.seed + epoch).shuffle(idx)
         idx = idx[self.shard_index::self.num_shards]
         nb = len(idx) // self.bs if self.drop_last else -(-len(idx) // self.bs)
         for b in range(nb):

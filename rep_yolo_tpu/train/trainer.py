@@ -52,17 +52,23 @@ def create_train_state(variables: dict, rng: jax.Array) -> TrainState:
 
 def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
                     img_size: int, use_ota: bool = True,
-                    augment_fn=None, loss_mode: str | None = None):
+                    augment_fn=None, loss_mode: str | None = None,
+                    resize_to: int | None = None):
     """Build the jit-able train step.
 
     model: RepYOLO; augment_fn: optional on-device augmentation
     (images, hw, labels, mask, key) -> Batch applied inside the step.
     loss_mode: 'ota' | 'classic' | 'aux_ota' (overrides use_ota).
+    resize_to: multi-scale bucket — after augmentation the batch is
+    resized on device to this square size (labels are normalized, so
+    they are untouched). One compiled program per bucket replaces the
+    reference's per-step dynamic interpolate (reference train.py:365-370).
     """
     anchors_grid = jnp.asarray(model.anchors_grid)
     strides = model.strides
     groups = None  # computed lazily on first call (static across steps)
     mode = loss_mode or ("ota" if use_ota else "classic")
+    loss_size = resize_to or img_size
 
     def loss_fn(params, batch_stats, images, labels, mask, rng):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -71,11 +77,11 @@ def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
             rngs={"dropout": rng}, mutable=["batch_stats"])
         if mode == "aux_ota":
             loss, comps = compute_loss_aux_ota(
-                preds, labels, mask, anchors_grid, strides, img_size,
+                preds, labels, mask, anchors_grid, strides, loss_size,
                 loss_cfg)
         elif mode == "ota":
             loss, comps = compute_loss_ota(
-                preds, labels, mask, anchors_grid, strides, img_size,
+                preds, labels, mask, anchors_grid, strides, loss_size,
                 loss_cfg)
         else:
             loss, comps = compute_loss(preds, labels, mask, anchors_grid,
@@ -87,6 +93,11 @@ def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
         if augment_fn is not None:
             batch = augment_fn(images, hw, labels, mask, k_aug)
             images, labels, mask = batch.images, batch.labels, batch.mask
+        if resize_to is not None and resize_to != images.shape[1]:
+            b = images.shape[0]
+            images = jax.image.resize(
+                images, (b, resize_to, resize_to, images.shape[-1]),
+                "bilinear")
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (comps, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, images, labels, mask, k_drop)
@@ -98,3 +109,25 @@ def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
                           opt=new_opt, ema=new_ema, rng=rng), comps
 
     return train_step
+
+
+def multiscale_sizes(img_size: int, gs: int = 32,
+                     factors=(0.67, 0.83, 1.0, 1.17, 1.33)) -> tuple[int, ...]:
+    """Static multi-scale buckets snapped to the stride (the TPU-friendly
+    version of the reference's per-step random resize over
+    [0.5, 1.5]*imgsz, reference train.py:365-370 — each bucket is one
+    compiled program instead of a fresh shape per step)."""
+    sizes = sorted({max(gs, int(round(img_size * f / gs)) * gs)
+                    for f in factors})
+    return tuple(sizes)
+
+
+def make_multiscale_train_steps(model, loss_cfg: LossConfig,
+                                opt_cfg: optim_lib.OptimConfig,
+                                img_size: int, sizes=None, **kw) -> dict:
+    """One train step per size bucket; the caller samples a bucket per
+    batch (host RNG) and dispatches — reference train.py:365-370."""
+    sizes = sizes or multiscale_sizes(img_size, int(max(model.strides)))
+    return {s: make_train_step(model, loss_cfg, opt_cfg, img_size,
+                               resize_to=s, **kw)
+            for s in sizes}

@@ -35,6 +35,34 @@ def increment_path(path: str | Path, exist_ok: bool = False) -> Path:
     return Path(f"{path}{n}")
 
 
+def labels_to_class_weights(labels_list, nc: int = 1) -> "np.ndarray":
+    """Inverse-frequency class weights (reference utils/general.py:188-204)."""
+    import numpy as np
+
+    classes = np.concatenate(
+        [l[:, 0].astype(int) for l in labels_list if len(l)]) \
+        if labels_list else np.zeros(0, int)
+    weights = np.bincount(classes, minlength=nc).astype(np.float64)
+    weights[weights == 0] = 1
+    weights = 1.0 / weights
+    return weights / weights.sum()
+
+
+def labels_to_image_weights(labels_list, nc: int = 1,
+                            class_weights=None) -> "np.ndarray":
+    """Per-image sampling weights from class weights
+    (reference utils/general.py:207-213; consumed by the image-weights
+    resampling loop, reference train.py:324-335)."""
+    import numpy as np
+
+    if class_weights is None:
+        class_weights = np.ones(nc)
+    counts = np.array([
+        np.bincount(l[:, 0].astype(int), minlength=nc) if len(l)
+        else np.zeros(nc) for l in labels_list])
+    return (counts * class_weights.reshape(1, nc)).sum(1)
+
+
 def colorstr(*inputs):
     """No-op passthrough (terminal colors omitted)."""
     return " ".join(str(x) for x in inputs)

@@ -1,0 +1,138 @@
+"""Serving server/client, downloads, resume daemon, multi-scale buckets,
+image-weight sampling, checkpoint resume."""
+
+import json
+import sys
+import threading
+import time
+import urllib.request
+from http.server import ThreadingHTTPServer
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent / "deploy"))
+sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+
+CFG = "cfg/rep_yolo_tiny_test.yaml"
+
+
+def test_serving_end_to_end():
+    import client as client_mod
+    import server as server_mod
+
+    infer, fused, model = server_mod.build_engine(
+        CFG, None, img_size=64, max_batch=2, conf=0.001, iou=0.45)
+    server_mod.STATE.update(infer=infer, vars=fused, img_size=64,
+                            max_batch=2)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), server_mod.Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{host}/v1/health") as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+        x = np.random.rand(1, 64, 64, 3).astype(np.float32)
+        out = client_mod.infer(host, x)
+        assert "detections" in out and len(out["detections"]) == 1
+        assert out["ms"] > 0
+        # oversized batch is rejected cleanly
+        bad = np.zeros((4, 64, 64, 3), np.float32)
+        req = urllib.request.Request(
+            f"{host}/v1/infer", data=bad.tobytes(),
+            headers={"X-Shape": "4,64,64,3"})
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
+
+
+def test_attempt_download_offline(tmp_path):
+    from rep_yolo_tpu.utils.downloads import attempt_download, safe_download
+
+    existing = tmp_path / "w.npz"
+    existing.write_bytes(b"x" * 10)
+    assert attempt_download(existing) == existing
+    with pytest.raises(FileNotFoundError):
+        safe_download("http://127.0.0.1:9/none.bin", tmp_path / "none.bin",
+                      retries=1)
+
+
+def test_resume_daemon_finds_unfinished(tmp_path):
+    import resume_daemon
+
+    run = tmp_path / "exp1"
+    run.mkdir()
+    (run / "opt.json").write_text(json.dumps(
+        dict(epochs=10, data="d", cfg="c", batch_size=2, img_size=64)))
+    (run / "last.json").write_text(json.dumps(dict(epoch=3)))
+    done = tmp_path / "exp2"
+    done.mkdir()
+    (done / "opt.json").write_text(json.dumps(
+        dict(epochs=5, data="d", cfg="c", batch_size=2, img_size=64)))
+    (done / "last.json").write_text(json.dumps(dict(epoch=4)))
+    found = resume_daemon.find_unfinished(tmp_path)
+    assert [r.name for r, _ in found] == ["exp1"]
+
+
+def test_multiscale_sizes():
+    from rep_yolo_tpu.train.trainer import multiscale_sizes
+
+    sizes = multiscale_sizes(640, 32)
+    assert all(s % 32 == 0 for s in sizes)
+    assert 640 in sizes and len(sizes) >= 3
+    assert min(sizes) < 640 < max(sizes)
+
+
+def test_image_weight_sampling():
+    from rep_yolo_tpu.utils.general import (labels_to_class_weights,
+                                            labels_to_image_weights)
+
+    labels = [np.asarray([[0, .5, .5, .1, .1]]),
+              np.asarray([[1, .5, .5, .1, .1], [1, .4, .4, .1, .1]]),
+              np.zeros((0, 5))]
+    cw = labels_to_class_weights(labels, nc=2)
+    assert cw.shape == (2,) and abs(cw.sum() - 1) < 1e-9
+    # rarer class 0 gets higher weight than class 1
+    assert cw[0] > cw[1]
+    iw = labels_to_image_weights(labels, nc=2, class_weights=cw)
+    assert iw.shape == (3,)
+    assert iw[2] == 0  # empty image
+
+
+def test_loader_weighted_epoch():
+    from rep_yolo_tpu.data.datasets import Loader, make_synthetic_dataset
+
+    ds = make_synthetic_dataset(8, 64, 1, 16, seed=0,
+                                root="/tmp/synth_iw")
+    loader = Loader(ds, 4, seed=0)
+    w = np.zeros(8)
+    w[0] = 1.0  # all sampling mass on image 0
+    batches = list(loader.epoch(0, image_weights=w))
+    idx = np.concatenate([b["indices"] for b in batches])
+    assert (idx == 0).all()
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    from rep_yolo_tpu.models.model import RepYOLO
+    from rep_yolo_tpu.train.checkpoint import (load_checkpoint,
+                                               save_checkpoint)
+    from rep_yolo_tpu.train.trainer import create_train_state
+
+    model = RepYOLO.from_config(CFG)
+    variables = model.init(jax.random.PRNGKey(0), img_size=64)
+    state = create_train_state(variables, jax.random.PRNGKey(1))
+    save_checkpoint(tmp_path / "last", state, meta=dict(epoch=4))
+    restored = load_checkpoint(tmp_path / "last", state)
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    meta = json.loads((tmp_path / "last.json").read_text())
+    assert meta["epoch"] == 4
