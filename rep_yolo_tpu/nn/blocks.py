@@ -37,6 +37,17 @@ from rep_yolo_tpu.nn.initializers import conv_kernel_init, conv_bias_init_for
 BN_MOMENTUM = 0.97
 BN_EPS = 1e-3
 
+# Conv MXU precision. HIGHEST gives exact f32 on CPU (golden parity) and is
+# what the tests pin; the bf16 serving path can switch to DEFAULT, which
+# lets XLA use native one-pass bf16 MXU convs. Set via set_conv_precision
+# BEFORE building modules (it is read at trace time).
+CONV_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_conv_precision(p) -> None:
+    global CONV_PRECISION
+    CONV_PRECISION = p
+
 
 def autopad(k: int, p: int | None = None) -> int:
     """'same'-style pad (reference models/common.py:25-29)."""
@@ -96,10 +107,7 @@ class ConvUnit(nn.Module):
             use_bias=self.use_bias,
             kernel_init=conv_kernel_init,
             bias_init=conv_bias_init_for(fan_in),
-            # HIGHEST: exact f32 on CPU (golden parity) and exact
-            # bf16xbf16->f32 on the MXU — the bf16 perf path casts inputs,
-            # so this costs nothing on TPU.
-            precision=jax.lax.Precision.HIGHEST,
+            precision=CONV_PRECISION,
             name="w",
         )(x)
 
