@@ -72,12 +72,12 @@ def main(argv=None):
                                   max_nms=1024, nc=model.cfg.nc)
         return det, ratio, pad
 
-    src = Path(args.source)
-    files = [str(src)] if src.is_file() else discover_images(src)
+    frames = _frame_source(args.source)
     t_sum = 0.0
-    for f in files:
-        img0 = cv2.imread(f)
-        assert img0 is not None, f"cannot read {f}"
+    n_frames = 0
+    writer = None
+    for f, img0, is_video in frames:
+        n_frames += 1
         rgb = cv2.cvtColor(img0, cv2.COLOR_BGR2RGB)
         h0, w0 = rgb.shape[:2]
         r0 = size / max(h0, w0)
@@ -107,9 +107,17 @@ def main(argv=None):
             cv2.putText(img0, f"{int(cls)} {conf:.2f}",
                         (int(x1), int(y1) - 4), cv2.FONT_HERSHEY_SIMPLEX,
                         0.6, (0, 255, 0), 1)
-        cv2.imwrite(str(out_dir / name), img0)
+        if is_video:
+            if writer is None:
+                writer = cv2.VideoWriter(
+                    str(out_dir / (Path(f).stem + ".mp4")),
+                    cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                    (img0.shape[1], img0.shape[0]))
+            writer.write(img0)
+        else:
+            cv2.imwrite(str(out_dir / name), img0)
         if args.save_txt:
-            with open(out_dir / (Path(f).stem + ".txt"), "w") as fh:
+            with open(out_dir / (Path(f).stem + ".txt"), "a") as fh:
                 for row in d:
                     x1, y1, x2, y2, conf, cls = row
                     xc = (x1 + x2) / 2 / w0
@@ -118,10 +126,51 @@ def main(argv=None):
                     bh = (y2 - y1) / h0
                     fh.write(f"{int(cls)} {xc:.6f} {yc:.6f} "
                              f"{bw:.6f} {bh:.6f} {conf:.4f}\n")
-    n = max(len(files), 1)
-    print(f"done: {len(files)} images, {1000 * t_sum / n:.1f} ms/img "
+    if writer is not None:
+        writer.release()
+    n = max(n_frames, 1)
+    print(f"done: {n_frames} frames, {1000 * t_sum / n:.1f} ms/frame "
           f"(incl. first-compile). results -> {out_dir}")
     return out_dir
+
+
+VID_EXTS = {".mp4", ".avi", ".mov", ".mkv", ".webm", ".m4v"}
+
+
+def _frame_source(source: str):
+    """Yield (name, BGR frame, is_video) from an image file / dir, a video
+    file, a webcam index, or a stream URL (reference LoadImages /
+    LoadWebcam / LoadStreams, utils/datasets.py:128-351)."""
+    import cv2
+
+    from rep_yolo_tpu.data.datasets import discover_images
+
+    def video_frames(cap, name):
+        i = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            yield f"{name}_f{i:06d}", frame, True
+            i += 1
+        cap.release()
+
+    if source.isdigit():                      # webcam index
+        yield from video_frames(cv2.VideoCapture(int(source)),
+                                f"webcam{source}")
+        return
+    if source.startswith(("rtsp://", "http://", "https://")):
+        yield from video_frames(cv2.VideoCapture(source), "stream")
+        return
+    src = Path(source)
+    if src.is_file() and src.suffix.lower() in VID_EXTS:
+        yield from video_frames(cv2.VideoCapture(str(src)), src.stem)
+        return
+    files = [str(src)] if src.is_file() else discover_images(src)
+    for f in files:
+        img = cv2.imread(f)
+        assert img is not None, f"cannot read {f}"
+        yield f, img, False
 
 
 if __name__ == "__main__":

@@ -32,7 +32,17 @@ SCRATCH_TINY: dict[str, float] = {**SCRATCH_P5, **dict(
     mosaic=1.0, mixup=0.05, paste_in=0.05,
 )}
 
-PRESETS = {"scratch.p5": SCRATCH_P5, "scratch.tiny": SCRATCH_TINY}
+# data/hyp.scratch.p6.yaml: identical to p5 except lrf 0.2 (verified by
+# diff against the reference files)
+SCRATCH_P6: dict[str, float] = {**SCRATCH_P5, **dict(lrf=0.2)}
+
+# data/hyp.scratch.custom.yaml: p5 with mixup/paste_in off, scale 0.5
+SCRATCH_CUSTOM: dict[str, float] = {**SCRATCH_P5, **dict(
+    mixup=0.0, paste_in=0.0, scale=0.5,
+)}
+
+PRESETS = {"scratch.p5": SCRATCH_P5, "scratch.tiny": SCRATCH_TINY,
+           "scratch.p6": SCRATCH_P6, "scratch.custom": SCRATCH_CUSTOM}
 
 
 def load_hyp(spec: str | dict | None) -> dict[str, float]:

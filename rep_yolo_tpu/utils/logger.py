@@ -15,7 +15,7 @@ from typing import Mapping
 
 
 class RunLogger:
-    def __init__(self, log_dir: str | Path):
+    def __init__(self, log_dir: str | Path, wandb_project: str | None = None):
         self.dir = Path(log_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self._csv_path = self.dir / "metrics.csv"
@@ -27,11 +27,24 @@ class RunLogger:
             self._tb = SummaryWriter(log_dir=str(self.dir / "tb"))
         except Exception:
             self._tb = None
+        # optional W&B (the reference's WandbLogger surface,
+        # utils/wandb_logging/wandb_utils.py:80-303); never required
+        self._wandb = None
+        if wandb_project:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(project=wandb_project,
+                                         dir=str(self.dir), resume="allow")
+            except Exception:
+                self._wandb = None
 
     def log_scalars(self, step: int, scalars: Mapping[str, float]):
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, float(v), step)
+        if self._wandb is not None:
+            self._wandb.log(dict(scalars), step=step)
         row = {"step": step, **{k: float(v) for k, v in scalars.items()}}
         write_header = not self._csv_path.exists() or self._csv_fields is None
         if self._csv_fields is None:
@@ -50,3 +63,5 @@ class RunLogger:
     def close(self):
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()

@@ -120,6 +120,40 @@ def test_loader_weighted_epoch():
     assert (idx == 0).all()
 
 
+def test_detect_frame_source_video(tmp_path):
+    import cv2
+
+    from rep_yolo_tpu.cli.detect import _frame_source
+
+    vid = tmp_path / "clip.mp4"
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                        (64, 48))
+    for i in range(5):
+        w.write(np.full((48, 64, 3), i * 40, np.uint8))
+    w.release()
+    frames = list(_frame_source(str(vid)))
+    assert len(frames) == 5
+    assert all(is_vid for _, _, is_vid in frames)
+    assert frames[0][1].shape == (48, 64, 3)
+
+    # image-dir source
+    img = tmp_path / "im.jpg"
+    cv2.imwrite(str(img), np.zeros((32, 32, 3), np.uint8))
+    frames = list(_frame_source(str(img)))
+    assert len(frames) == 1 and frames[0][2] is False
+
+
+def test_hyp_presets():
+    from rep_yolo_tpu.train.hyp import PRESETS, load_hyp
+
+    assert set(PRESETS) == {"scratch.p5", "scratch.tiny", "scratch.p6",
+                            "scratch.custom"}
+    p6 = load_hyp("scratch.p6")
+    assert p6["lrf"] == 0.2
+    custom = load_hyp("scratch.custom")
+    assert custom["mixup"] == 0.0 and custom["scale"] == 0.5
+
+
 def test_checkpoint_resume_roundtrip(tmp_path):
     from rep_yolo_tpu.models.model import RepYOLO
     from rep_yolo_tpu.train.checkpoint import (load_checkpoint,
