@@ -48,13 +48,30 @@ def main():
             if isinstance(x, jax.Array) and x.dtype == jnp.float32 else x,
             fused)
         jax.block_until_ready(fused)
-    fused = jax.device_put(fused, jax.devices()[0])
+    # multi-chip: replicate params, shard the batch on a data mesh so the
+    # per-chip figure reflects actual sharded execution (single chip: no-op)
+    from rep_yolo_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+
+    mesh = make_mesh()
+    fused = jax.device_put(fused, replicated(mesh))
+    x_sharding = batch_sharding(mesh)
 
     def one(v, x):
         pred = deploy.predict(v, x)
         det = non_max_suppression(pred.astype(jnp.float32), 0.25, 0.45,
                                   max_nms=1024)
         return det
+
+    n_chips = max(1, len(jax.devices()))
+    if n_chips > 1:
+        # per-shard execution so the Pallas NMS grid stays per-chip
+        from functools import partial
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        one = partial(shard_map, mesh=mesh, in_specs=(P(), P("data")),
+                      out_specs=P("data"), check_rep=False)(one)
 
     @jax.jit
     def infer_loop(v, x, n_iters):
@@ -73,8 +90,11 @@ def main():
                                    (x, jnp.float32(0.0)))
         return acc
 
-    x = jax.random.uniform(jax.random.PRNGKey(1),
-                           (BATCH, SIZE, SIZE, 3), jnp.bfloat16)
+    batch = BATCH * n_chips            # keep per-chip batch constant
+    x = jax.device_put(
+        jax.random.uniform(jax.random.PRNGKey(1),
+                           (batch, SIZE, SIZE, 3), jnp.bfloat16),
+        x_sharding)
     float(infer_loop(fused, x, 1))  # compile + one real iteration
 
     def timed(n):
@@ -90,8 +110,7 @@ def main():
     t_2n = statistics.median(timed(2 * ITERS) for _ in range(3))
     dt = max((t_2n - t_n) / ITERS, 1e-9)
 
-    n_chips = max(1, len(jax.devices()))
-    img_s_chip = BATCH / dt / n_chips
+    img_s_chip = batch / dt / n_chips
     print(json.dumps({
         "metric": f"images/sec/chip @640px b{BATCH} fused inference (incl. NMS)",
         "value": round(img_s_chip, 1),

@@ -24,6 +24,12 @@ def parse_args(argv=None):
     p.add_argument("--nc", type=int, default=1)
     p.add_argument("--task", default="val",
                    choices=["val", "test", "speed", "study"])
+    p.add_argument("--save-json", default=None,
+                   help="write COCO-format detections to this path "
+                        "(reference test.py --save-json)")
+    p.add_argument("--coco-gt", default=None,
+                   help="COCO GT annotations json: run the pycocotools "
+                        "cross-check (reference test.py:253-275)")
     p.add_argument("--no-fuse", action="store_true")
     return p.parse_args(argv)
 
@@ -60,11 +66,19 @@ def main(argv=None):
     ds = DetectionDataset.from_path(args.data, args.img_size, args.nc)
     res = evaluate(model, variables, ds, batch_size=args.batch_size,
                    img_size=args.img_size, conf_thres=args.conf_thres,
-                   iou_thres=args.iou_thres)
+                   iou_thres=args.iou_thres, save_json=args.save_json)
     out = dict(P=res.mp, R=res.mr, map50=res.map50, map=res.map,
                fitness=res.fitness,
                ms_per_img_infer=res.speed_ms[0],
                ms_per_img_total=res.speed_ms[1])
+    if args.save_json and args.coco_gt:
+        from rep_yolo_tpu.train.evaluate import coco_eval
+
+        try:
+            out["coco_map"], out["coco_map50"] = coco_eval(
+                args.save_json, args.coco_gt)
+        except ImportError:
+            print("pycocotools not available; skipping COCO cross-check")
     print(json.dumps(out, indent=2))
     return res
 

@@ -54,12 +54,36 @@ def parse_args(argv=None):
                    help="use the C++ decode/prefetch loader")
     p.add_argument("--workers", type=int, default=0,
                    help="native loader threads (0 = auto)")
+    p.add_argument("--evolve", type=int, default=0, metavar="N",
+                   help="hyperparameter evolution for N generations "
+                        "(reference train.py:628-715); each generation "
+                        "trains --epochs epochs on mutated hyps")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.evolve:
+        from rep_yolo_tpu.train.evolve import evolve
+        from rep_yolo_tpu.train.hyp import load_hyp
 
+        base = load_hyp(args.hyp)
+        gen_counter = [0]
+
+        def train_once(hyp):
+            gen_counter[0] += 1
+            res = _run_training(args, hyp,
+                                name=f"{args.name}_g{gen_counter[0]}")
+            return (res.mp, res.mr, res.map50, res.map)
+
+        best = evolve(train_once, base, generations=args.evolve,
+                      out_dir=Path(args.project) / "evolve", seed=args.seed)
+        print("best evolved hyp:", json.dumps(best, indent=2))
+        return best
+    return _run_training(args, None, name=args.name, return_dir=True)
+
+
+def _run_training(args, hyp_override=None, name="exp", return_dir=False):
     from rep_yolo_tpu.data.augment import AugmentConfig, augment_batch
     from rep_yolo_tpu.data.datasets import (DetectionDataset, Loader,
                                             make_synthetic_dataset)
@@ -73,7 +97,7 @@ def main(argv=None):
     from rep_yolo_tpu.train.trainer import create_train_state, make_train_step
     from rep_yolo_tpu.utils.general import increment_path
 
-    out_dir = increment_path(Path(args.project) / args.name)
+    out_dir = increment_path(Path(args.project) / name)
     out_dir.mkdir(parents=True, exist_ok=True)
     (out_dir / "opt.json").write_text(json.dumps(vars(args), indent=2))
 
@@ -106,7 +130,7 @@ def main(argv=None):
                            img_size=args.img_size)
 
     # hyp / loss / optim
-    hyp = load_hyp(args.hyp)
+    hyp = load_hyp(hyp_override if hyp_override is not None else args.hyp)
     ghyp = scale_gains(hyp, model.cfg.nl, model.cfg.nc, args.img_size)
     loss_cfg = LossConfig(
         nc=model.cfg.nc, box_gain=ghyp["box"], obj_gain=ghyp["obj"],
@@ -231,7 +255,7 @@ def main(argv=None):
                                 meta=dict(epoch=epoch, fitness=res.fitness))
     logger.close()
     print(f"done. results in {out_dir}")
-    return out_dir
+    return out_dir if return_dir else res
 
 
 if __name__ == "__main__":

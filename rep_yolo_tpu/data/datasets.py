@@ -207,6 +207,65 @@ class Loader:
         n = len(self.ds) // self.num_shards
         return n // self.bs if self.drop_last else -(-n // self.bs)
 
+    def epoch_quad(self, epoch: int = 0) -> Iterator[dict]:
+        """Quad collate (reference collate_fn4, utils/datasets.py:638-662):
+        every 4 items become one 2S x 2S image — either the first item
+        upscaled 2x (p=0.5) or the four stitched in a 2x2 grid — with
+        labels re-normalized to the quad canvas. Batches have
+        batch_size // 4 images at twice the resolution."""
+        assert self.bs % 4 == 0, "quad collate needs batch_size % 4 == 0"
+        rng = np.random.default_rng(self.seed + 1000 + epoch)
+        S = self.ds.img_size
+        for batch in self.epoch(epoch):
+            imgs, hw = batch["images"], batch["hw"]
+            labels, mask = batch["labels"], batch["mask"]
+            B, M = mask.shape
+            out_i, out_hw, out_l, out_m = [], [], [], []
+            for g in range(0, B, 4):
+                canvas = np.full((2 * S, 2 * S, 3), 114, imgs.dtype)
+                if rng.random() < 0.5:
+                    # upscale item g 2x
+                    h, w = int(hw[g][0]), int(hw[g][1])
+                    big = np.repeat(np.repeat(
+                        imgs[g][:h, :w], 2, 0), 2, 1)  # nearest 2x
+                    canvas[: 2 * h, : 2 * w] = big
+                    l = labels[g].copy()
+                    m = mask[g].copy()
+                    nh, nw = 2 * h, 2 * w
+                    lab = np.zeros((4 * M, 5), np.float32)
+                    msk = np.zeros((4 * M,), bool)
+                    lab[:M] = l
+                    msk[:M] = m
+                    out_hw.append([nh, nw])
+                else:
+                    offs = [(0, 0), (0, S), (S, 0), (S, S)]
+                    lab = np.zeros((4 * M, 5), np.float32)
+                    msk = np.zeros((4 * M,), bool)
+                    for j, (oy, ox) in enumerate(offs):
+                        k = g + j
+                        h, w = int(hw[k][0]), int(hw[k][1])
+                        canvas[oy:oy + h, ox:ox + w] = imgs[k][:h, :w]
+                        l = labels[k]
+                        m = mask[k]
+                        # normalized-to-content -> quad-canvas normalized
+                        # (canvas content treated as the full 2S square)
+                        ll = l.copy()
+                        ll[:, 1] = (l[:, 1] * w + ox) / (2 * S)
+                        ll[:, 2] = (l[:, 2] * h + oy) / (2 * S)
+                        ll[:, 3] = l[:, 3] * w / (2 * S)
+                        ll[:, 4] = l[:, 4] * h / (2 * S)
+                        lab[j * M:(j + 1) * M] = ll
+                        msk[j * M:(j + 1) * M] = m
+                    out_hw.append([2 * S, 2 * S])
+                out_i.append(canvas)
+                out_l.append(lab)
+                out_m.append(msk)
+            yield dict(images=np.stack(out_i),
+                       hw=np.asarray(out_hw, np.float32),
+                       labels=np.stack(out_l), mask=np.stack(out_m),
+                       orig_shapes=np.asarray(out_hw, np.float32),
+                       indices=batch["indices"][::4])
+
     def epoch(self, epoch: int = 0,
               image_weights: "np.ndarray | None" = None) -> Iterator[dict]:
         if image_weights is not None:

@@ -105,7 +105,7 @@ def _resolve_method(method: str, k: int) -> str:
 
 @partial(jax.jit, static_argnames=(
     "conf_thres", "iou_thres", "max_det", "max_nms", "multi_label",
-    "agnostic", "nc", "method"))
+    "agnostic", "nc", "method", "merge"))
 def non_max_suppression(
     prediction: jax.Array,
     conf_thres: float = 0.25,
@@ -117,13 +117,20 @@ def non_max_suppression(
     agnostic: bool = False,
     nc: int | None = None,
     method: str = "auto",
+    merge: bool = False,
 ) -> Detections:
-    """prediction: (B, N, 5+nc) decoded [xc,yc,w,h,obj,cls...] in pixels."""
+    """prediction: (B, N, 5+nc) decoded [xc,yc,w,h,obj,cls...] in pixels.
+
+    merge=True: merge-NMS — each kept box becomes the score-weighted mean
+    of all candidates overlapping it above iou_thres (reference
+    utils/general.py:1032-1037)."""
     B, N, no = prediction.shape
     nc = no - 5 if nc is None else nc
     multi_label = multi_label and nc > 1
     k = min(max_nms, N * nc if multi_label else N)
     method = _resolve_method(method, k)
+    if merge and method == "greedy":
+        method = "matrix"   # merge needs the candidate pool post-selection
 
     def candidates(x):
         """Per image: top-k score-desc candidate boxes/scores/classes."""
@@ -184,6 +191,7 @@ def non_max_suppression(
 
     # fixed-shape selection: scores are already descending, so the first
     # max_det kept candidates ARE the greedy selections in order.
+    cand_box = sel_box                                        # (B,k,4)
     masked = jnp.where(keep, top_scores, -jnp.inf)           # (B,k)
     if k < max_det:
         masked = jnp.pad(masked, ((0, 0), (0, max_det - k)),
@@ -192,9 +200,25 @@ def non_max_suppression(
         sel_cls = jnp.pad(sel_cls, ((0, 0), (0, max_det - k)))
     vals, idx = jax.lax.top_k(masked, max_det)               # (B,max_det)
     ok = vals > -jnp.inf
-    out_boxes = jnp.where(
-        ok[..., None], jnp.take_along_axis(sel_box, idx[..., None], axis=1),
-        0.0)
+    out_boxes = jnp.take_along_axis(sel_box, idx[..., None], axis=1)
+    if merge:
+        # weighted-mean merge over overlapping candidates (class-aware via
+        # the offset boxes, like the suppression itself)
+        sel_nms = jnp.take_along_axis(nms_boxes, idx[..., None], axis=1)
+        area_s = ((sel_nms[..., 2] - sel_nms[..., 0])
+                  * (sel_nms[..., 3] - sel_nms[..., 1]))       # (B,D)
+        area_c = ((nms_boxes[..., 2] - nms_boxes[..., 0])
+                  * (nms_boxes[..., 3] - nms_boxes[..., 1]))   # (B,k)
+        lt = jnp.maximum(sel_nms[:, :, None, :2], nms_boxes[:, None, :, :2])
+        rb = jnp.minimum(sel_nms[:, :, None, 2:], nms_boxes[:, None, :, 2:])
+        wh = jnp.maximum(rb - lt, 0.0)
+        inter = wh[..., 0] * wh[..., 1]                        # (B,D,k)
+        iou = inter / (area_s[:, :, None] + area_c[:, None, :] - inter)
+        wgt = (iou > iou_thres) * jnp.where(cand_valid, top_scores,
+                                            0.0)[:, None, :]   # (B,D,k)
+        denom = jnp.maximum(wgt.sum(-1, keepdims=True), 1e-9)
+        out_boxes = jnp.einsum("bdk,bkc->bdc", wgt, cand_box) / denom
+    out_boxes = jnp.where(ok[..., None], out_boxes, 0.0)
     out_scores = jnp.where(ok, vals, 0.0)
     out_cls = jnp.where(
         ok, jnp.take_along_axis(sel_cls, idx, axis=1).astype(jnp.int32), -1)

@@ -54,12 +54,17 @@ def make_eval_step(model, variables, img_size: int, conf_thres: float = 0.001,
 
 def evaluate(model, variables, ds: DetectionDataset, batch_size: int = 8,
              img_size: int = 640, conf_thres: float = 0.001,
-             iou_thres: float = 0.65, verbose: bool = False) -> EvalResult:
+             iou_thres: float = 0.65, verbose: bool = False,
+             save_json: str | None = None) -> EvalResult:
+    """`save_json` writes COCO-format detections ([x,y,w,h] boxes, image id
+    from the file stem) for pycocotools cross-checking (the reference's
+    --save-json path, test.py:152-275)."""
     loader = Loader(ds, batch_size, shuffle=False, drop_last=False)
     step = make_eval_step(model, variables, img_size, conf_thres, iou_thres)
 
     iouv = np.linspace(0.5, 0.95, 10)
     stats = []
+    json_dets = [] if save_json else None
     t_inf = 0.0
     n_img = 0
     t_total0 = time.perf_counter()
@@ -101,6 +106,20 @@ def evaluate(model, variables, ds: DetectionDataset, batch_size: int = 8,
                 gt = np.zeros((0, 5), np.float32)
             correct = match_predictions(d, gt, iouv)
             stats.append((correct, d[:, 4], d[:, 5], gt[:, 0]))
+            if json_dets is not None:
+                from pathlib import Path as _P
+
+                stem = _P(ds.img_files[int(batch["indices"][i])]).stem
+                image_id = int(stem) if stem.isnumeric() else stem
+                for x1, y1, x2, y2, score, cls in d:
+                    json_dets.append({
+                        "image_id": image_id,
+                        "category_id": int(cls),
+                        "bbox": [round(float(x1), 3), round(float(y1), 3),
+                                 round(float(x2 - x1), 3),
+                                 round(float(y2 - y1), 3)],
+                        "score": round(float(score), 5),
+                    })
 
     t_total = time.perf_counter() - t_total0
     if stats:
@@ -124,6 +143,14 @@ def evaluate(model, variables, ds: DetectionDataset, batch_size: int = 8,
         mp = mr = map50 = map_ = 0.0
         per_class = {}
 
+    if json_dets is not None:
+        import json as _json
+        from pathlib import Path as _P
+
+        p = _P(save_json)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(_json.dumps(json_dets))
+
     return EvalResult(
         mp=float(mp), mr=float(mr), map50=float(map50), map=float(map_),
         per_class=per_class,
@@ -131,3 +158,18 @@ def evaluate(model, variables, ds: DetectionDataset, batch_size: int = 8,
                   1000 * t_total / max(n_img, 1)),
         fitness=float(fitness(mp, mr, map50, map_)),
     )
+
+
+def coco_eval(pred_json: str, gt_json: str) -> tuple[float, float]:
+    """pycocotools cross-check (reference test.py:253-275): returns
+    (mAP@0.5:0.95, mAP@0.5). Requires pycocotools + a COCO GT json."""
+    from pycocotools.coco import COCO
+    from pycocotools.cocoeval import COCOeval
+
+    gt = COCO(gt_json)
+    dt = gt.loadRes(pred_json)
+    ev = COCOeval(gt, dt, "bbox")
+    ev.evaluate()
+    ev.accumulate()
+    ev.summarize()
+    return float(ev.stats[0]), float(ev.stats[1])

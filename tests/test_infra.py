@@ -82,6 +82,42 @@ def test_resume_daemon_finds_unfinished(tmp_path):
     assert [r.name for r, _ in found] == ["exp1"]
 
 
+def test_sharded_inference_shard_map():
+    """Data-parallel inference over the 8-device mesh via shard_map with
+    the full predict+NMS pipeline per shard (the bench.py multi-chip path)."""
+    from functools import partial
+
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from rep_yolo_tpu.models.model import RepYOLO
+    from rep_yolo_tpu.ops.nms import non_max_suppression
+    from rep_yolo_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                            replicated)
+
+    model = RepYOLO.from_config(CFG)
+    variables = model.init(jax.random.PRNGKey(0), img_size=64)
+    deploy, fused = model.fuse(variables)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    fused = jax.device_put(fused, replicated(mesh))
+
+    def one(v, x):
+        pred = deploy.predict(v, x)
+        return non_max_suppression(pred, 0.01, 0.45, max_nms=128,
+                                   method="matrix")
+
+    sharded = partial(shard_map, mesh=mesh, in_specs=(P(), P("data")),
+                      out_specs=P("data"), check_rep=False)(one)
+    x = jax.device_put(
+        jax.random.uniform(jax.random.PRNGKey(1), (16, 64, 64, 3)),
+        batch_sharding(mesh))
+    det = jax.jit(sharded)(fused, x)
+    assert det.boxes.shape[0] == 16
+    assert np.isfinite(np.asarray(det.scores)).all()
+
+
 def test_multiscale_sizes():
     from rep_yolo_tpu.train.trainer import multiscale_sizes
 
@@ -152,6 +188,43 @@ def test_hyp_presets():
     assert p6["lrf"] == 0.2
     custom = load_hyp("scratch.custom")
     assert custom["mixup"] == 0.0 and custom["scale"] == 0.5
+
+
+def test_quad_collate():
+    from rep_yolo_tpu.data.datasets import Loader, make_synthetic_dataset
+
+    ds = make_synthetic_dataset(8, 64, 1, 8, seed=0, root="/tmp/synth_quad")
+    loader = Loader(ds, 4, shuffle=False)
+    batches = list(loader.epoch_quad(0))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["images"].shape == (1, 128, 128, 3)
+    assert b["labels"].shape == (1, 32, 5)
+    # labels stay normalized in [0, 1]
+    lab = b["labels"][0][b["mask"][0]]
+    assert lab.size == 0 or (lab[:, 1:] >= 0).all() and (lab[:, 1:] <= 1).all()
+
+
+def test_eval_save_json(tmp_path):
+    import jax
+
+    from rep_yolo_tpu.data.datasets import make_synthetic_dataset
+    from rep_yolo_tpu.models.model import RepYOLO
+    from rep_yolo_tpu.train.evaluate import evaluate
+
+    ds = make_synthetic_dataset(4, 64, 1, 8, seed=0,
+                                root=tmp_path / "synth")
+    model = RepYOLO.from_config(CFG)
+    variables = model.init(jax.random.PRNGKey(0), img_size=64)
+    out = tmp_path / "dets.json"
+    evaluate(model, variables, ds, batch_size=2, img_size=64,
+             conf_thres=0.001, save_json=str(out))
+    dets = json.loads(out.read_text())
+    assert isinstance(dets, list)
+    if dets:
+        d = dets[0]
+        assert set(d) == {"image_id", "category_id", "bbox", "score"}
+        assert len(d["bbox"]) == 4
 
 
 def test_checkpoint_resume_roundtrip(tmp_path):

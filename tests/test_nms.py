@@ -142,6 +142,27 @@ def test_nms_chain_matches_numpy():
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_nms_merge_weighted_mean():
+    """merge-NMS: kept boxes become score-weighted means of overlapping
+    candidates (reference utils/general.py:1032-1037)."""
+    # two heavily-overlapping boxes -> one kept, merged between the two
+    pred = np.zeros((1, 2, 6), np.float32)
+    pred[0, 0] = [100, 100, 40, 40, 0.9, 1.0]
+    pred[0, 1] = [104, 104, 40, 40, 0.6, 1.0]
+    det_plain = non_max_suppression(jnp.asarray(pred), 0.25, 0.45,
+                                    max_nms=64, method="matrix")
+    det_merge = non_max_suppression(jnp.asarray(pred), 0.25, 0.45,
+                                    max_nms=64, method="matrix", merge=True)
+    assert int(det_plain.count[0]) == int(det_merge.count[0]) == 1
+    b_plain = np.asarray(det_plain.boxes[0, 0])
+    b_merge = np.asarray(det_merge.boxes[0, 0])
+    # plain keeps the top box exactly; merged shifts toward the second
+    np.testing.assert_allclose(b_plain, [80, 80, 120, 120], atol=1e-4)
+    expected = (0.9 * np.array([80, 80, 120, 120])
+                + 0.6 * np.array([84, 84, 124, 124])) / 1.5
+    np.testing.assert_allclose(b_merge, expected, atol=1e-3)
+
+
 def test_nms_batched_and_empty():
     rng = np.random.default_rng(6)
     pred = np.stack([_rand_pred(rng, 100, 1),
