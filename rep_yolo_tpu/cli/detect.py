@@ -76,7 +76,8 @@ def main(argv=None):
     t_sum = 0.0
     n_frames = 0
     writer = None
-    for f, img0, is_video in frames:
+    for f, img0, fps in frames:
+        is_video = fps is not None
         n_frames += 1
         rgb = cv2.cvtColor(img0, cv2.COLOR_BGR2RGB)
         h0, w0 = rgb.shape[:2]
@@ -111,7 +112,7 @@ def main(argv=None):
             if writer is None:
                 writer = cv2.VideoWriter(
                     str(out_dir / (Path(f).stem + ".mp4")),
-                    cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                    cv2.VideoWriter_fourcc(*"mp4v"), fps,
                     (img0.shape[1], img0.shape[0]))
             writer.write(img0)
         else:
@@ -146,13 +147,14 @@ def _frame_source(source: str):
     from rep_yolo_tpu.data.datasets import discover_images
 
     def video_frames(cap, name):
-        i = 0
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
         while True:
             ok, frame = cap.read()
             if not ok:
                 break
-            yield f"{name}_f{i:06d}", frame, True
-            i += 1
+            # constant name per source: the writer derives its filename
+            # and the label txt appends per frame
+            yield name, frame, fps
         cap.release()
 
     if source.isdigit():                      # webcam index
@@ -170,7 +172,7 @@ def _frame_source(source: str):
     for f in files:
         img = cv2.imread(f)
         assert img is not None, f"cannot read {f}"
-        yield f, img, False
+        yield f, img, None
 
 
 if __name__ == "__main__":

@@ -54,6 +54,8 @@ def parse_args(argv=None):
                    help="use the C++ decode/prefetch loader")
     p.add_argument("--workers", type=int, default=0,
                    help="native loader threads (0 = auto)")
+    p.add_argument("--wandb", default=None, metavar="PROJECT",
+                   help="log to this Weights & Biases project (optional)")
     p.add_argument("--evolve", type=int, default=0, metavar="N",
                    help="hyperparameter evolution for N generations "
                         "(reference train.py:628-715); each generation "
@@ -97,8 +99,14 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
     from rep_yolo_tpu.train.trainer import create_train_state, make_train_step
     from rep_yolo_tpu.utils.general import increment_path
 
-    out_dir = increment_path(Path(args.project) / name)
-    out_dir.mkdir(parents=True, exist_ok=True)
+    if args.resume:
+        # continue IN the resumed run's directory (a fresh increment would
+        # orphan the old run's last.json and loop any resume daemon forever)
+        out_dir = Path(args.resume).parent
+        out_dir.mkdir(parents=True, exist_ok=True)
+    else:
+        out_dir = increment_path(Path(args.project) / name)
+        out_dir.mkdir(parents=True, exist_ok=True)
     (out_dir / "opt.json").write_text(json.dumps(vars(args), indent=2))
 
     # data
@@ -151,7 +159,9 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
         translate=hyp["translate"], scale=hyp["scale"], shear=hyp["shear"],
         perspective=hyp["perspective"], hsv_h=hyp["hsv_h"],
         hsv_s=hyp["hsv_s"], hsv_v=hyp["hsv_v"], flipud=hyp["flipud"],
-        fliplr=hyp["fliplr"], mosaic=hyp["mosaic"], mixup=hyp["mixup"],
+        fliplr=hyp["fliplr"], mosaic=hyp["mosaic"],
+        mosaic9=hyp.get("mosaic9", 0.2), mixup=hyp["mixup"],
+        paste_in=hyp.get("paste_in", 0.0), cutout=hyp.get("cutout", 0.0),
         max_labels=args.max_labels)
     augment_fn = None if args.no_augment else (
         lambda im, hw, lb, mk, k: augment_batch(im, hw, lb, mk, k, aug_cfg))
@@ -191,7 +201,7 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
 
     from rep_yolo_tpu.utils.logger import RunLogger
 
-    logger = RunLogger(out_dir)
+    logger = RunLogger(out_dir, wandb_project=args.wandb)
     logger.log_config("hyp", hyp)
 
     if args.image_weights:

@@ -223,7 +223,8 @@ class Loader:
             out_i, out_hw, out_l, out_m = [], [], [], []
             for g in range(0, B, 4):
                 canvas = np.full((2 * S, 2 * S, 3), 114, imgs.dtype)
-                if rng.random() < 0.5:
+                # partial tail groups (drop_last=False) can't stitch 4
+                if rng.random() < 0.5 or g + 4 > B:
                     # upscale item g 2x
                     h, w = int(hw[g][0]), int(hw[g][1])
                     big = np.repeat(np.repeat(
@@ -269,9 +270,13 @@ class Loader:
     def epoch(self, epoch: int = 0,
               image_weights: "np.ndarray | None" = None) -> Iterator[dict]:
         if image_weights is not None:
-            # weighted resample with replacement (reference train.py:324-330)
+            # weighted resample with replacement (reference train.py:324-330);
+            # all-zero weights (label-free dataset / perfect per-class mAP)
+            # degrade to uniform
             w = np.asarray(image_weights, np.float64)
-            w = w / max(w.sum(), 1e-12)
+            if w.sum() <= 0:
+                w = np.ones_like(w)
+            w = w / w.sum()
             idx = np.random.default_rng(self.seed + epoch).choice(
                 len(self.ds), size=len(self.ds), replace=True, p=w)
         else:

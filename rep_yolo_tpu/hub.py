@@ -164,9 +164,10 @@ class AutoShape:
             images = [images]
         arrs = [self._to_numpy_image(im) for im in images]
         shapes = [a.shape[:2] for a in arrs]
-        batch = np.stack([letterbox_np(a, self.size)[0] for a in arrs])
-        ratios = [letterbox_np(a, self.size)[1] for a in arrs]
-        pads = [letterbox_np(a, self.size)[2] for a in arrs]
+        boxed = [letterbox_np(a, self.size) for a in arrs]
+        batch = np.stack([b[0] for b in boxed])
+        ratios = [b[1] for b in boxed]
+        pads = [b[2] for b in boxed]
 
         det: RawDetections = self._infer(
             self.variables, jnp.asarray(batch / 255.0, jnp.float32),

@@ -77,12 +77,32 @@ class RepYOLO:
         return self.net.apply(variables, x, train=train, rngs=rngs,
                               mutable=mutable)
 
+    @property
+    def head_spec(self):
+        return self.cfg.layers[self.cfg.head_index]
+
     def predict(self, variables: dict, x: jax.Array) -> jax.Array:
-        """Decoded inference: (B, N, no) pixel-space predictions."""
+        """Decoded inference: (B, N, no) pixel-space predictions. Dispatches
+        the decode on the head type (Detect/IDetect/IAuxDetect standard,
+        IBin binned-wh, IKeypoint det+keypoints)."""
         maps = self.net.apply(variables, x, train=False)
         maps = maps[: self.cfg.nl]  # lead heads only (IAuxDetect parity)
-        return heads_lib.decode_predictions(
-            maps, jnp.asarray(self.anchors_px), self.strides)
+        spec = self.head_spec
+        anchors = jnp.asarray(self.anchors_px)
+        if spec.name == "IBin":
+            bin_count = spec.args[3] if len(spec.args) > 3 else 21
+            outs = [heads_lib.decode_level_bin(p, anchors[i], self.strides[i],
+                                               bin_count=bin_count,
+                                               nc=self.cfg.nc)
+                    for i, p in enumerate(maps)]
+            return jnp.concatenate(outs, axis=1)
+        if spec.name == "IKeypoint":
+            nkpt = spec.args[3] if len(spec.args) > 3 else 17
+            outs = [heads_lib.decode_level_kpt(p, anchors[i], self.strides[i],
+                                               nc=self.cfg.nc, nkpt=nkpt)
+                    for i, p in enumerate(maps)]
+            return jnp.concatenate(outs, axis=1)
+        return heads_lib.decode_predictions(maps, anchors, self.strides)
 
     def predict_tta(self, variables: dict, x: jax.Array) -> jax.Array:
         """Test-time-augmented inference (reference models/yolo.py:569-585):
@@ -153,22 +173,39 @@ def _check_anchor_order(anchors_px: np.ndarray, strides: Sequence[float]):
 def initialize_detect_biases(params: dict, cfg: ModelConfig,
                              strides: Sequence[float],
                              cf: np.ndarray | None = None) -> dict:
-    """Focal-prior init of the detect head conv biases
-    (reference models/yolo.py:621-629): per level,
-    obj_bias += log(8 / (640/stride)^2); cls_bias += log(0.6/(nc-0.99)).
+    """Focal-prior init of the detect head conv biases.
+
+    Detect/IDetect/IAuxDetect/IKeypoint (reference models/yolo.py:621-643,
+    660-668): obj_bias += log(8/(640/s)^2); cls_bias += log(0.6/(nc-0.99)).
+    IBin (reference :645-658): same for obj/cls at their shifted offsets,
+    plus log(0.6/(bin_count+1-0.99)) on the bin-classification logits
+    (regression channels untouched).
     """
     head_key = f"l{cfg.head_index}"
     head = dict(params[head_key])
     na, nc = cfg.na, cfg.nc
-    no = nc + 5
+    head_spec = cfg.layers[cfg.head_index]
+    if head_spec.name == "IBin":
+        bc = head_spec.args[3] if len(head_spec.args) > 3 else 21
+        no = nc + 3 + 2 * (bc + 1)
+        obj_idx = 2 * bc + 4
+    else:
+        no = nc + 5
+        obj_idx = 4
 
     def adjust(bias, s):
         b = np.asarray(bias, np.float32).reshape(na, no).copy()
-        b[:, 4] += math.log(8 / (640 / s) ** 2)
+        if head_spec.name == "IBin":
+            # bin-logit prior on everything before obj, then restore the
+            # x/y and the two regression channels (reference :651-657)
+            keep = b[:, (0, 1, 2, bc + 3)].copy()
+            b[:, :obj_idx] += math.log(0.6 / (bc + 1 - 0.99))
+            b[:, (0, 1, 2, bc + 3)] = keep
+        b[:, obj_idx] += math.log(8 / (640 / s) ** 2)
         if cf is None:
-            b[:, 5:] += math.log(0.6 / (nc - 0.99))
+            b[:, obj_idx + 1:] += math.log(0.6 / (nc - 0.99))
         else:
-            b[:, 5:] += np.log(cf / cf.sum())
+            b[:, obj_idx + 1:] += np.log(cf / cf.sum())
         return jnp.asarray(b.reshape(-1))
 
     i = 0

@@ -245,6 +245,9 @@ class DetectionNet(nn.Module):
             elif n in ("nn.Upsample", "Upsample"):
                 y = B.upsample2x_nearest(inp)
             else:
+                if n in ("Detect", "IDetect", "IAuxDetect", "IBin",
+                         "IKeypoint") and not isinstance(inp, list):
+                    inp = [inp]   # single-level head
                 y = build_module(spec, self.deploy)(inp, train)
 
             if spec.save:

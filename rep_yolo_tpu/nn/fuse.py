@@ -115,11 +115,13 @@ def fuse_reps_node(p: dict, s: dict) -> dict:
     return {"reparam_conv": {"w": {"kernel": kernel, "bias": bias}}}
 
 
-def fuse_idetect_node(p: dict) -> dict:
-    """IDetect/IAuxDetect node: fold ia/im into the lead head convs, drop
-    aux convs (m2_*) — deploy inference uses lead heads only
-    (reference models/yolo.py:170-182; aux heads dropped at export parity
-    with IAuxDetect.fuse).
+def fuse_idetect_node(p: dict, recurse=None) -> dict:
+    """IDetect/IAuxDetect/IBin/IKeypoint node: fold ia/im into the lead
+    head convs, drop aux convs (m2_*) — deploy inference uses lead heads
+    only (reference models/yolo.py:170-182; aux heads dropped at export
+    parity with IAuxDetect.fuse). Other subtrees (IKeypoint's m_kpt_*
+    convs / refinement stacks) pass through `recurse` so their own
+    Conv+BN pairs still fuse.
     """
     out: dict[str, Any] = {}
     i = 0
@@ -135,6 +137,11 @@ def fuse_idetect_node(p: dict) -> dict:
             kernel = kernel * im
         out[f"m_{i}"] = {"kernel": kernel, "bias": bias}
         i += 1
+    for key, val in p.items():
+        if key in out or key.startswith(("ia_", "im_", "m2_")):
+            continue
+        out[key] = recurse(val, key) if (recurse and isinstance(val, dict)) \
+            else val
     return out
 
 
@@ -165,7 +172,12 @@ def fuse_variables(variables: dict) -> dict:
             return fuse_orepa_standalone_node(p, s), None
         if any(k.startswith("ia_") for k in p) or (
                 "m_0" in p and _is_leaf_dict(p["m_0"]) and "kernel" in p["m_0"]):
-            return fuse_idetect_node(p), None
+            def recurse(sub, key):
+                sub_s = s.get(key, {}) if isinstance(s, dict) else {}
+                fp, _ = walk(sub, sub_s)
+                return fp
+
+            return fuse_idetect_node(p, recurse), None
         if "conv" in p and "bn" in p and isinstance(p["conv"], dict) \
                 and "w" in p["conv"]:
             return fuse_conv_bn_node(p, s), None

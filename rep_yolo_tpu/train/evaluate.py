@@ -65,6 +65,9 @@ def evaluate(model, variables, ds: DetectionDataset, batch_size: int = 8,
     iouv = np.linspace(0.5, 0.95, 10)
     stats = []
     json_dets = [] if save_json else None
+    # COCO GT uses category ids 1..90; map from our 0..79 training ids
+    # when the class count says COCO (reference test.py:83,172 coco91class)
+    cls_map = coco80_to_coco91() if model.cfg.nc == 80 else None
     t_inf = 0.0
     n_img = 0
     t_total0 = time.perf_counter()
@@ -114,7 +117,8 @@ def evaluate(model, variables, ds: DetectionDataset, batch_size: int = 8,
                 for x1, y1, x2, y2, score, cls in d:
                     json_dets.append({
                         "image_id": image_id,
-                        "category_id": int(cls),
+                        "category_id": (cls_map[int(cls)] if cls_map
+                                        else int(cls)),
                         "bbox": [round(float(x1), 3), round(float(y1), 3),
                                  round(float(x2 - x1), 3),
                                  round(float(y2 - y1), 3)],
@@ -158,6 +162,16 @@ def evaluate(model, variables, ds: DetectionDataset, batch_size: int = 8,
                   1000 * t_total / max(n_img, 1)),
         fitness=float(fitness(mp, mr, map50, map_)),
     )
+
+
+def coco80_to_coco91() -> list[int]:
+    """Training-index (0..79) -> COCO91 category id (reference
+    utils/general.py coco80_to_coco91_class)."""
+    return [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19,
+            20, 21, 22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38,
+            39, 40, 41, 42, 43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55,
+            56, 57, 58, 59, 60, 61, 62, 63, 64, 65, 67, 70, 72, 73, 74, 75,
+            76, 77, 78, 79, 80, 81, 82, 84, 85, 86, 87, 88, 89, 90]
 
 
 def coco_eval(pred_json: str, gt_json: str) -> tuple[float, float]:

@@ -88,6 +88,59 @@ def test_ikeypoint_dw_stack():
     assert outs[0].shape == (1, 8, 8, 3, 6 + 9)
 
 
+def _mini_cfg(head_row):
+    return {
+        "nc": 2, "depth_multiple": 1.0, "width_multiple": 1.0,
+        "anchors": [[10, 13, 16, 30, 33, 23]],
+        "backbone": [[-1, 1, "Conv", [16, 3, 2]],
+                     [-1, 1, "Conv", [32, 3, 2]]],
+        "head": [head_row],
+    }
+
+
+def test_ibin_model_end_to_end():
+    """IBin through the full model API: init (bias prior), predict
+    (binned-wh decode), fuse."""
+    from rep_yolo_tpu.models.model import RepYOLO
+
+    model = RepYOLO.from_config(_mini_cfg(
+        [[-1], 1, "IBin", ["nc", "anchors", 21]]))
+    variables = model.init(jax.random.PRNGKey(0), img_size=32)
+    x = jnp.zeros((1, 32, 32, 3))
+    pred = model.predict(variables, x)
+    assert pred.shape == (1, 8 * 8 * 3, 2 + 5)   # decoded to nc+5
+    assert jnp.all(jnp.isfinite(pred))
+    assert float(pred[..., 2:4].min()) >= 0.0    # wh from [0,4]*anchor
+    deploy, fused = model.fuse(variables)
+    pred2 = deploy.predict(fused, x)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(pred2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ikeypoint_model_end_to_end():
+    from rep_yolo_tpu.models.model import RepYOLO
+
+    model = RepYOLO.from_config(_mini_cfg(
+        [[-1], 1, "IKeypoint", ["nc", "anchors", 5]]))
+    variables = model.init(jax.random.PRNGKey(0), img_size=32)
+    x = jnp.zeros((1, 32, 32, 3))
+    pred = model.predict(variables, x)
+    assert pred.shape == (1, 8 * 8 * 3, 2 + 5 + 15)
+    deploy, fused = model.fuse(variables)
+    pred2 = deploy.predict(fused, x)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(pred2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_coco91_map():
+    from rep_yolo_tpu.train.evaluate import coco80_to_coco91
+
+    m = coco80_to_coco91()
+    assert len(m) == 80
+    assert m[0] == 1 and m[79] == 90
+    assert len(set(m)) == 80
+
+
 def test_bin_ota_loss_runs_and_descends():
     nc, M, S = 2, 4, 16
     bin_count = 21

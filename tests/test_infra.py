@@ -169,14 +169,17 @@ def test_detect_frame_source_video(tmp_path):
     w.release()
     frames = list(_frame_source(str(vid)))
     assert len(frames) == 5
-    assert all(is_vid for _, _, is_vid in frames)
+    # video frames carry the source fps and a constant source name
+    assert all(fps is not None and abs(fps - 10) < 0.5
+               for _, _, fps in frames)
+    assert all(name == "clip" for name, _, _ in frames)
     assert frames[0][1].shape == (48, 64, 3)
 
     # image-dir source
     img = tmp_path / "im.jpg"
     cv2.imwrite(str(img), np.zeros((32, 32, 3), np.uint8))
     frames = list(_frame_source(str(img)))
-    assert len(frames) == 1 and frames[0][2] is False
+    assert len(frames) == 1 and frames[0][2] is None
 
 
 def test_hyp_presets():
@@ -197,6 +200,15 @@ def test_quad_collate():
     loader = Loader(ds, 4, shuffle=False)
     batches = list(loader.epoch_quad(0))
     assert len(batches) == 2
+
+    # partial tail group (drop_last=False) must not index past the batch
+    ds10 = make_synthetic_dataset(10, 64, 1, 8, seed=0,
+                                  root="/tmp/synth_quad10")
+    loader10 = Loader(ds10, 4, shuffle=False, drop_last=False)
+    for seed in range(6):
+        loader10.seed = seed
+        for b in loader10.epoch_quad(0):
+            assert b["images"].shape[1:] == (128, 128, 3)
     b = batches[0]
     assert b["images"].shape == (1, 128, 128, 3)
     assert b["labels"].shape == (1, 32, 5)
