@@ -54,6 +54,9 @@ def parse_args(argv=None):
                    help="use the C++ decode/prefetch loader")
     p.add_argument("--workers", type=int, default=0,
                    help="native loader threads (0 = auto)")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed-precision training: bf16 compute, f32 "
+                        "master params/optimizer/BN stats (the TPU AMP)")
     p.add_argument("--wandb", default=None, metavar="PROJECT",
                    help="log to this Weights & Biases project (optional)")
     p.add_argument("--evolve", type=int, default=0, metavar="N",
@@ -173,7 +176,8 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
 
         steps = make_multiscale_train_steps(
             model, loss_cfg, opt_cfg, args.img_size,
-            augment_fn=augment_fn, loss_mode=loss_mode)
+            augment_fn=augment_fn, loss_mode=loss_mode,
+            mixed_precision=args.bf16)
         # donation is unsafe across programs of different shapes: the state
         # buffers are shared by every bucket's executable
         steps = {s: jax.jit(f) for s, f in steps.items()}
@@ -184,7 +188,8 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
             return steps[ms_rng.choice(sizes)](state, *batch)
     else:
         step_fn = make_train_step(model, loss_cfg, opt_cfg, args.img_size,
-                                  augment_fn=augment_fn, loss_mode=loss_mode)
+                                  augment_fn=augment_fn, loss_mode=loss_mode,
+                                  mixed_precision=args.bf16)
         step_fn = jax.jit(step_fn, donate_argnums=(0,))
 
     state = create_train_state(variables, jax.random.PRNGKey(args.seed + 1))

@@ -152,6 +152,76 @@ def _single_sample_fn(img: jax.Array, hw: jax.Array, size: int,
     return sample
 
 
+def _is_separable(cfg: AugmentConfig) -> bool:
+    """The default hyps (degrees=shear=perspective=0) make every warp a
+    diagonal affine — separable into two interpolation matmuls that run on
+    the MXU instead of per-pixel gathers (which cost ~600 ms/step on TPU)."""
+    return (cfg.degrees == 0.0 and cfg.shear == 0.0
+            and cfg.perspective == 0.0)
+
+
+def _interp_matrix(coords: jax.Array, src_size: int,
+                   bound: jax.Array | None = None):
+    """Dense bilinear interpolation matrix R (out, src) for 1-D source
+    coordinates `coords` (out,): R @ v == bilinear sample of v at coords.
+    Out-of-range taps get zero weight; `bound` optionally tightens the
+    valid source extent below src_size (letterbox content). Also returns
+    the per-row weight sum (for blending the PAD_VALUE outside)."""
+    i0 = jnp.floor(coords)
+    f = coords - i0
+    src = jnp.arange(src_size, dtype=jnp.float32)[None, :]
+    hi = jnp.float32(src_size) if bound is None else bound
+    r = jnp.zeros((coords.shape[0], src_size), jnp.float32)
+    for d, wgt in ((0, 1.0 - f), (1, f)):
+        idx = i0 + d
+        ok = (idx >= 0) & (idx < hi)
+        r = r + jnp.where((src == idx[:, None]) & ok[:, None],
+                          wgt[:, None], 0.0)
+    return r, r.sum(axis=1)
+
+
+def _warp_separable(canvas: jax.Array, M: jax.Array, size: int) -> jax.Array:
+    """Inverse-warp for diagonal-affine M: out = Ry @ canvas @ Rx^T with
+    PAD_VALUE blended where the bilinear footprint leaves the canvas.
+    Bit-compatible with the gather path for the same M."""
+    Minv = jnp.linalg.inv(M)
+    out_idx = jnp.arange(size, dtype=jnp.float32)
+    cx = Minv[0, 0] * out_idx + Minv[0, 2]
+    cy = Minv[1, 1] * out_idx + Minv[1, 2]
+    Hc, Wc = canvas.shape[0], canvas.shape[1]
+    ry, sy = _interp_matrix(cy, Hc)
+    rx, sx = _interp_matrix(cx, Wc)
+    tmp = jnp.einsum("yh,hwc->ywc", ry, canvas)
+    out = jnp.einsum("ywc,xw->yxc", tmp, rx)
+    cover = sy[:, None] * sx[None, :]
+    return out + PAD_VALUE * (1.0 - cover)[..., None]
+
+
+def _mosaic_canvas(imgs4: jax.Array, hw4: jax.Array,
+                   center: jax.Array) -> jax.Array:
+    """Materialize the 2s x 2s four-tile mosaic canvas (reference
+    load_mosaic placement, utils/datasets.py:719-736) via rolls + masks —
+    no scatter, no gather."""
+    S = imgs4.shape[1]
+    yc, xc = center[0], center[1]
+    cy = jax.lax.broadcasted_iota(jnp.float32, (2 * S, 2 * S), 0)
+    cx = jax.lax.broadcasted_iota(jnp.float32, (2 * S, 2 * S), 1)
+    canvas = jnp.full((2 * S, 2 * S, 3), PAD_VALUE, imgs4.dtype)
+    for t in range(4):
+        right = t % 2
+        bottom = t // 2
+        h = hw4[t, 0]
+        w = hw4[t, 1]
+        oy = jnp.where(bottom == 1, yc, yc - h)
+        ox = jnp.where(right == 1, xc, xc - w)
+        padded = jnp.pad(imgs4[t], ((0, S), (0, S), (0, 0)))
+        shifted = jnp.roll(padded, (oy.astype(jnp.int32),
+                                    ox.astype(jnp.int32)), axis=(0, 1))
+        mask = (cy >= oy) & (cy < oy + h) & (cx >= ox) & (cx < ox + w)
+        canvas = jnp.where(mask[..., None], shifted, canvas)
+    return canvas
+
+
 def _warp(sample_fn, M: jax.Array, size: int, perspective: bool) -> jax.Array:
     """Inverse-warp the canvas through M with bilinear filtering: one fused
     gather pass over the s x s output."""
@@ -263,7 +333,10 @@ def _one_mosaic(imgs4, hw4, labels4, mask4, key, cfg: AugmentConfig):
 
     M = _affine_matrix(k_aff, S, cfg, canvas=2 * S)
     persp = cfg.perspective != 0.0
-    img = _warp(_mosaic_sample_fn(imgs4, hw4, center), M, S, persp)
+    if _is_separable(cfg):
+        img = _warp_separable(_mosaic_canvas(imgs4, hw4, center), M, S)
+    else:
+        img = _warp(_mosaic_sample_fn(imgs4, hw4, center), M, S, persp)
 
     # labels: normalized xywh -> canvas xyxy with per-tile pad offsets
     h = hw4[:, 0][:, None]
@@ -323,7 +396,21 @@ def _one_mosaic9(imgs9, hw9, labels9, mask9, key, cfg: AugmentConfig):
     # [yc:yc+2s, xc:xc+2s] then treats it like the 2s mosaic canvas)
     M = _affine_matrix(k_aff, S, cfg, canvas=3 * S)
     persp = cfg.perspective != 0.0
-    img = _warp(_mosaic9_sample_fn(imgs9, hw9), M, S, persp)
+    if _is_separable(cfg):
+        # 3x3 grid canvas: static s-cell offsets, content top-left per cell
+        cy = jax.lax.broadcasted_iota(jnp.float32, (3 * S, 3 * S), 0)
+        cx = jax.lax.broadcasted_iota(jnp.float32, (3 * S, 3 * S), 1)
+        canvas = jnp.full((3 * S, 3 * S, 3), PAD_VALUE, imgs9.dtype)
+        for t in range(9):
+            oy, ox = (t // 3) * S, (t % 3) * S
+            tile = jnp.pad(imgs9[t], ((oy, 2 * S - oy),
+                                      (ox, 2 * S - ox), (0, 0)))
+            mask = (cy >= oy) & (cy < oy + hw9[t, 0]) \
+                & (cx >= ox) & (cx < ox + hw9[t, 1])
+            canvas = jnp.where(mask[..., None], tile, canvas)
+        img = _warp_separable(canvas, M, S)
+    else:
+        img = _warp(_mosaic9_sample_fn(imgs9, hw9), M, S, persp)
 
     h = hw9[:, 0][:, None]
     w = hw9[:, 1][:, None]
@@ -586,11 +673,19 @@ def letterbox_batch(images: jax.Array, hw: jax.Array, size: int,
         r = jnp.minimum(size / h, size / w)
         if not scaleup:
             r = jnp.minimum(r, 1.0)
-        sampler = _single_sample_fn(img, wh_, size, r)
-        M = jnp.eye(3)  # canvas == output
-        out = _warp(sampler, M, size, False)
         nh = jnp.round(h * r)
         nw = jnp.round(w * r)
+        oy = jnp.round((size - nh) / 2.0)
+        ox = jnp.round((size - nw) / 2.0)
+        # diagonal mapping out -> src: separable two-matmul resample
+        # (the gather formulation costs ~100x more on TPU)
+        out_idx = jnp.arange(size, dtype=jnp.float32)
+        ry, sy = _interp_matrix((out_idx - oy) / r, img.shape[0], bound=h)
+        rx, sx = _interp_matrix((out_idx - ox) / r, img.shape[1], bound=w)
+        tmp = jnp.einsum("yh,hwc->ywc", ry, img)
+        out = jnp.einsum("ywc,xw->yxc", tmp, rx)
+        cover = sy[:, None] * sx[None, :]
+        out = out + PAD_VALUE * (1.0 - cover)[..., None]
         pad = jnp.stack([(size - nw) / 2.0, (size - nh) / 2.0])
         return out / 255.0, r, pad
 

@@ -123,11 +123,15 @@ class BN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        # f32 training keeps flax's default f32 stats math; bf16 inputs
+        # (mixed-precision training / bf16 serving) stay bf16 so downstream
+        # ops aren't silently promoted. Running stats are stored f32 either
+        # way (param_dtype default).
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
-            dtype=None if train else x.dtype,
+            dtype=None if (train and x.dtype == jnp.float32) else x.dtype,
             name="norm",
         )(x)
 

@@ -53,7 +53,8 @@ def create_train_state(variables: dict, rng: jax.Array) -> TrainState:
 def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
                     img_size: int, use_ota: bool = True,
                     augment_fn=None, loss_mode: str | None = None,
-                    resize_to: int | None = None):
+                    resize_to: int | None = None,
+                    mixed_precision: bool = False):
     """Build the jit-able train step.
 
     model: RepYOLO; augment_fn: optional on-device augmentation
@@ -63,6 +64,10 @@ def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
     resized on device to this square size (labels are normalized, so
     they are untouched). One compiled program per bucket replaces the
     reference's per-step dynamic interpolate (reference train.py:365-370).
+    mixed_precision: bf16 forward/backward with f32 master params,
+    optimizer state, BN stats, and loss math — the TPU-native analog of
+    the reference's CUDA AMP (reference train.py:312,373; no loss
+    scaling needed: bf16 shares f32's exponent range).
     """
     anchors_grid = jnp.asarray(model.anchors_grid)
     strides = model.strides
@@ -71,10 +76,19 @@ def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
     loss_size = resize_to or img_size
 
     def loss_fn(params, batch_stats, images, labels, mask, rng):
+        if mixed_precision:
+            # bf16 compute params (differentiable cast: grads land on the
+            # f32 masters), bf16 activations; loss math stays f32 below
+            params = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16)
+                if p.dtype == jnp.float32 else p, params)
+            images = images.astype(jnp.bfloat16)
         variables = {"params": params, "batch_stats": batch_stats}
         preds, mutated = model.net.apply(
             variables, images, train=True,
             rngs={"dropout": rng}, mutable=["batch_stats"])
+        if mixed_precision:
+            preds = [p.astype(jnp.float32) for p in preds]
         if mode == "aux_ota":
             loss, comps = compute_loss_aux_ota(
                 preds, labels, mask, anchors_grid, strides, loss_size,

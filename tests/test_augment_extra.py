@@ -38,6 +38,49 @@ def test_augment_batch_with_mosaic9_and_pastein():
     assert bool(out.mask.any())
 
 
+def test_separable_warp_matches_gather():
+    """The separable (matmul) warp fast path is numerically equivalent to
+    the gather formulation for diagonal-affine M (default hyps)."""
+    import dataclasses
+
+    from rep_yolo_tpu.data import augment as A
+
+    imgs, hw, labels, mask = _batch(B=4, S=64)
+    cfg = AugmentConfig(img_size=64, max_labels=16)  # degrees=shear=persp=0
+    assert A._is_separable(cfg)
+    key = jax.random.PRNGKey(7)
+    k_center, k_aff = jax.random.split(key)
+    S = 64
+    center = jnp.floor(jax.random.uniform(k_center, (2,), minval=S / 2,
+                                          maxval=1.5 * S))
+    M = A._affine_matrix(k_aff, S, cfg, canvas=2 * S)
+    img_gather = A._warp(A._mosaic_sample_fn(imgs[:4], hw[:4], center),
+                         M, S, False)
+    img_sep = A._warp_separable(A._mosaic_canvas(imgs[:4], hw[:4], center),
+                                M, S)
+    np.testing.assert_allclose(np.asarray(img_sep), np.asarray(img_gather),
+                               rtol=1e-4, atol=1e-2)
+
+
+def test_letterbox_separable_geometry():
+    from rep_yolo_tpu.data.augment import letterbox_batch
+
+    # content 32x48 inside a 64-padded frame, letterbox to 64
+    img = np.full((64, 64, 3), 200.0, np.float32)
+    img[32:] = 0.0   # below-content area (padding region in the loader)
+    img[:, 48:] = 0.0
+    out, r, pad = letterbox_batch(jnp.asarray(img[None]),
+                                  jnp.asarray([[32.0, 48.0]]), 64)
+    out = np.asarray(out[0]) * 255
+    assert abs(float(r[0]) - 1.0) < 1e-6          # scaleup=False keeps r=1
+    pw, ph = np.asarray(pad[0])
+    assert pw == 8 and ph == 16
+    # content is centered; corners are pad gray 114
+    assert abs(out[32, 32].mean() - 200.0) < 1.0
+    assert abs(out[0, 0].mean() - 114.0) < 1.0
+    assert abs(out[63, 63].mean() - 114.0) < 1.0
+
+
 def test_cutout_drops_obscured_labels():
     S = 64
     img = jnp.full((S, S, 3), 100.0)
