@@ -30,6 +30,8 @@ def parse_args(argv=None):
     p.add_argument("--coco-gt", default=None,
                    help="COCO GT annotations json: run the pycocotools "
                         "cross-check (reference test.py:253-275)")
+    p.add_argument("--verbose", action="store_true",
+                   help="per-class P/R/AP table (reference test.py:231-236)")
     p.add_argument("--no-fuse", action="store_true")
     return p.parse_args(argv)
 
@@ -71,6 +73,11 @@ def main(argv=None):
                fitness=res.fitness,
                ms_per_img_infer=res.speed_ms[0],
                ms_per_img_total=res.speed_ms[1])
+    if args.verbose and res.per_class:
+        print(f"{'class':>8} {'P':>8} {'R':>8} {'AP50':>8} {'AP':>8}")
+        for c, d in sorted(res.per_class.items()):
+            print(f"{c:>8} {d['p']:8.3f} {d['r']:8.3f} "
+                  f"{d['ap50']:8.3f} {d['ap']:8.3f}")
     if args.save_json and args.coco_gt:
         from rep_yolo_tpu.train.evaluate import coco_eval
 

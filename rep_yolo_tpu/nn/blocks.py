@@ -65,6 +65,10 @@ def _act(name: str | None, x: jax.Array) -> jax.Array:
         return jax.nn.leaky_relu(x, 0.1)
     if name == "hardswish":
         return jax.nn.hard_swish(x)
+    if name == "mish":
+        # reference utils/activations.py:23-45 (Mish / MemoryEfficientMish
+        # — on TPU XLA rematerializes, no manual-bwd variant needed)
+        return x * jnp.tanh(jax.nn.softplus(x))
     if name is None or name == "identity":
         return x
     raise ValueError(f"unknown activation {name!r}")

@@ -726,6 +726,18 @@ class InvertedResidual(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+class FReLU(nn.Module):
+    """Funnel activation: max(x, DWConv3x3+BN(x))
+    (reference utils/activations.py:49-60)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c = x.shape[-1]
+        y = ConvUnit(c, 3, 1, 1, g=c, name="conv")(x)
+        y = BN(name="bn")(y, train)
+        return jnp.maximum(x, y)
+
+
 class Classify(nn.Module):
     """GAP -> conv -> flatten classification head
     (reference models/common.py:1031-1042)."""

@@ -100,6 +100,92 @@ def plot_pr_curve(px, py, ap, save_path: str | Path, names=()):
     plt.close(fig)
 
 
+def plot_mc_curve(px, py, save_path: str | Path, xlabel="Confidence",
+                  ylabel="Metric"):
+    """Metric-confidence curve (F1/P/R vs conf; reference
+    utils/metrics.py:183-199 plot_mc_curve)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(1, 1, figsize=(7, 6), tight_layout=True)
+    py = np.atleast_2d(py)
+    for row in py:
+        ax.plot(px, row, linewidth=1)
+    mean = py.mean(0)
+    ax.plot(px, mean, linewidth=3,
+            label=f"all classes {mean.max():.2f} at "
+                  f"{px[mean.argmax()]:.3f}")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend()
+    Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+
+
+def plot_confusion_matrix(matrix: np.ndarray, save_path: str | Path,
+                          names=()):
+    """Normalized confusion-matrix heatmap (reference
+    utils/metrics.py:128-157 ConfusionMatrix.plot)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    m = matrix / (matrix.sum(0).reshape(1, -1) + 1e-6)
+    fig, ax = plt.subplots(1, 1, figsize=(8, 7), tight_layout=True)
+    im = ax.imshow(m, cmap="Blues", vmin=0, vmax=1)
+    fig.colorbar(im, ax=ax)
+    n = m.shape[0]
+    labels = list(names) + ["background"] if len(names) == n - 1 else None
+    if labels:
+        ax.set_xticks(range(n))
+        ax.set_yticks(range(n))
+        ax.set_xticklabels(labels, rotation=90, fontsize=8)
+        ax.set_yticklabels(labels, fontsize=8)
+    ax.set_xlabel("True")
+    ax.set_ylabel("Predicted")
+    Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+
+
+def plot_evolve(evolve_file: str | Path, save_path: str | Path,
+                meta_keys=None):
+    """Fitness-vs-hyperparameter scatter grid (reference
+    utils/plots.py plot_evolution)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = np.asarray([
+        [float(v) for v in line.split()]
+        for line in Path(evolve_file).read_text().splitlines() if line])
+    if rows.size == 0:
+        return
+    fitness = 0.1 * rows[:, 2] + 0.9 * rows[:, 3]
+    hyps = rows[:, 4:]
+    k = hyps.shape[1]
+    cols = 5
+    rows_n = -(-k // cols)
+    fig, axes = plt.subplots(rows_n, cols, figsize=(3 * cols, 3 * rows_n),
+                             tight_layout=True)
+    axes = np.atleast_2d(axes)
+    for i in range(k):
+        ax = axes[i // cols][i % cols]
+        ax.scatter(hyps[:, i], fitness, c=fitness, cmap="viridis", s=12)
+        if meta_keys and i < len(meta_keys):
+            ax.set_title(meta_keys[i], fontsize=8)
+    Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+
+
 def plot_results(results_file: str | Path, save_path: str | Path):
     """Loss curves from results.txt (reference utils/plots.py:389-434)."""
     import matplotlib
