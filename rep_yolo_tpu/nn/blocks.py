@@ -49,6 +49,18 @@ def set_conv_precision(p) -> None:
     CONV_PRECISION = p
 
 
+# Fused Pallas axial attention (ops/pallas/axial_attention.py): one kernel
+# per CrissCross/Vertical block instead of XLA's ~15 ops + layout copies.
+# Inference-only (train keeps the XLA path: dropout + exact golden grads).
+# Enabled by the serving/bench paths via set_fused_attention(True).
+FUSED_ATTENTION = False
+
+
+def set_fused_attention(enabled: bool) -> None:
+    global FUSED_ATTENTION
+    FUSED_ATTENTION = enabled
+
+
 def autopad(k: int, p: int | None = None) -> int:
     """'same'-style pad (reference models/common.py:25-29)."""
     return k // 2 if p is None else p
@@ -529,6 +541,12 @@ class CrissCrossAttention(nn.Module):
                       name="value_conv")(x, train),
             train))
 
+        gamma = self.param("gamma", nn.initializers.zeros, (1,))
+        if FUSED_ATTENTION and not train:
+            from rep_yolo_tpu.ops.pallas import axial_attention as _ax
+            if _ax.fits(x.shape[1], x.shape[2], self.c1):
+                return _ax.criss_cross_fused(q, k, v, x, gamma)
+
         hi = jax.lax.Precision.HIGHEST
         # TPU-optimized but mathematically identical formulation of the
         # reference's permute+bmm choreography (models/common.py:3693-3726):
@@ -560,7 +578,6 @@ class CrissCrossAttention(nn.Module):
             jnp.einsum("bwgc,bwhg->bwhc", vT, att_hT, precision=hi),
             (0, 2, 1, 3))
         out_w = jnp.einsum("bhgc,bhwg->bhwc", v, att_w, precision=hi)
-        gamma = self.param("gamma", nn.initializers.zeros, (1,))
         return gamma * (out_h + out_w) + x
 
 
@@ -591,6 +608,12 @@ class VerticalAttention(nn.Module):
                       name="value_conv")(x, train),
             train))
 
+        gamma = self.param("gamma", nn.initializers.zeros, (1,))
+        if FUSED_ATTENTION and not train:
+            from rep_yolo_tpu.ops.pallas import axial_attention as _ax
+            if _ax.fits(x.shape[1], x.shape[2], self.c1):
+                return _ax.vertical_fused(q, k, v, x, gamma)
+
         hi = jax.lax.Precision.HIGHEST
         # same (B,W,H,C)-layout trick as CrissCrossAttention
         qT = jnp.transpose(q, (0, 2, 1, 3))
@@ -600,7 +623,6 @@ class VerticalAttention(nn.Module):
         out_h = jnp.transpose(
             jnp.einsum("bwgc,bwhg->bwhc", vT, energy_h, precision=hi),
             (0, 2, 1, 3))
-        gamma = self.param("gamma", nn.initializers.zeros, (1,))
         return gamma * out_h + x
 
 

@@ -1,0 +1,104 @@
+"""Slope-method TPU benchmarks of the deploy model's pieces.
+
+The tunneled TPU runtime memoizes identical dispatches, so naive
+block_until_ready loops over-report throughput by >10x. Every timing here
+runs N iterations inside ONE device program (`fori_loop`) with a real data
+dependency between steps, and reports the (2N - N) slope — the same
+methodology as bench.py.
+
+Usage:
+  python tools/slope_bench.py [batch] [--fused-attn] [--trace DIR]
+
+With --trace, also captures a jax.profiler trace of the forward loop for
+tools/trace_rollup.py.
+"""
+
+from __future__ import annotations
+
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+import rep_yolo_tpu.nn.blocks as blocks_lib
+from rep_yolo_tpu.models.model import RepYOLO
+from rep_yolo_tpu.ops.nms import non_max_suppression
+
+SIZE = 640
+ITERS = 5
+
+
+def build(batch: int):
+    blocks_lib.set_conv_precision(jax.lax.Precision.DEFAULT)
+    model = RepYOLO.from_config("cfg/rep_yolo.yaml")
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init(jax.random.PRNGKey(0), img_size=256)
+        deploy, fused = model.fuse(variables)
+        fused = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if isinstance(a, jax.Array) and a.dtype == jnp.float32 else a,
+            fused)
+    dev = jax.devices()[0]
+    fused = jax.device_put(fused, dev)
+    x = jax.device_put(
+        jax.random.uniform(jax.random.PRNGKey(1), (batch, SIZE, SIZE, 3),
+                           jnp.bfloat16), dev)
+    return deploy, fused, x
+
+
+def slope(step_fn, fused, x, label: str, batch: int):
+    @jax.jit
+    def loop(v, x, n):
+        def body(_, carry):
+            xc, acc = carry
+            s = step_fn(v, xc) + acc
+            xc = xc + (s * 1e-24).astype(xc.dtype)
+            return (xc, s)
+        _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0.0)))
+        return acc
+
+    float(loop(fused, x, 1))
+    def timed(n):
+        t0 = time.perf_counter()
+        float(loop(fused, x, n))
+        return time.perf_counter() - t0
+    t_n = statistics.median(timed(ITERS) for _ in range(3))
+    t_2n = statistics.median(timed(2 * ITERS) for _ in range(3))
+    dt = (t_2n - t_n) / ITERS
+    print(f"{label:32s} {dt * 1e3:8.2f} ms/batch -> {batch / dt:7.0f} img/s",
+          flush=True)
+    return loop
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch = int(args[0]) if args else 128
+    deploy, fused, x = build(batch)
+    if "--fused-attn" in sys.argv:
+        blocks_lib.set_fused_attention(True)
+
+    def fwd(v, xc):
+        out = deploy.apply(v, xc, train=False)
+        return sum(l.sum().astype(jnp.float32) for l in jax.tree.leaves(out))
+
+    def pred_nms(v, xc):
+        pred = deploy.predict(v, xc)
+        det = non_max_suppression(pred.astype(jnp.float32), 0.25, 0.45,
+                                  max_nms=1024)
+        return det.scores.sum()
+
+    loop = slope(fwd, fused, x, "fwd raw maps", batch)
+    slope(pred_nms, fused, x, "predict + NMS", batch)
+
+    if "--trace" in sys.argv:
+        tdir = sys.argv[sys.argv.index("--trace") + 1]
+        with jax.profiler.trace(tdir):
+            float(loop(fused, x, 3))
+        print(f"trace written under {tdir} (3 fwd iterations)")
+
+
+if __name__ == "__main__":
+    main()
