@@ -99,8 +99,28 @@ def upsample2x_nearest(x: jax.Array) -> jax.Array:
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
 
+class _ConvParams(nn.Module):
+    """Kernel/bias param holder matching nn.Conv's tree ({kernel, bias})
+    so checkpoints stay identical to the original nn.Conv-based ConvUnit."""
+
+    shape: tuple
+    use_bias: bool
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        kern = self.param("kernel", conv_kernel_init, self.shape)
+        bias = self.param("bias", conv_bias_init_for(self.fan_in),
+                          (self.shape[-1],)) if self.use_bias else None
+        return kern, bias
+
+
 class ConvUnit(nn.Module):
-    """Raw conv wrapper with torch-default init and explicit padding."""
+    """Raw conv wrapper with torch-default init and explicit padding.
+
+    Routes through the int8 PTQ path (ops/quant.py) when this conv has a
+    calibrated activation scale and the quantization registry selects it.
+    """
 
     c2: int
     k: int = 1
@@ -111,21 +131,31 @@ class ConvUnit(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from rep_yolo_tpu.ops import quant
+
         p = autopad(self.k, self.p)
         c1 = x.shape[-1]
         fan_in = (c1 // self.g) * self.k * self.k
-        return nn.Conv(
-            features=self.c2,
-            kernel_size=(self.k, self.k),
-            strides=(self.s, self.s),
-            padding=((p, p), (p, p)),
-            feature_group_count=self.g,
-            use_bias=self.use_bias,
-            kernel_init=conv_kernel_init,
-            bias_init=conv_bias_init_for(fan_in),
-            precision=CONV_PRECISION,
-            name="w",
-        )(x)
+        kern, bias = _ConvParams((self.k, self.k, c1 // self.g, self.c2),
+                                 self.use_bias, fan_in, name="w")()
+
+        path = "/".join(self.scope.path) if self.scope is not None else ""
+        s_in = quant.scale_for(path, self.k, c1, self.c2, self.g)
+        if s_in is not None:
+            y = quant.quant_conv(x, kern, s_in, self.s, p)
+        else:
+            # same dtype promotion as nn.Conv (dtype=None): inputs and
+            # params are promoted to a common dtype before the conv
+            dt = jnp.result_type(x, kern)
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt), kern.astype(dt), (self.s, self.s),
+                ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.g,
+                precision=CONV_PRECISION)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class BN(nn.Module):
