@@ -45,10 +45,12 @@ class RepYOLO:
     @classmethod
     def from_config(cls, cfg: str | dict | ModelConfig, ch: int = 3,
                     nc: int | None = None, anchors=None,
-                    deploy: bool = False) -> "RepYOLO":
+                    deploy: bool = False, remat: bool = False) -> "RepYOLO":
+        """remat: per-block rematerialization for training memory
+        (see DetectionNet docstring); no effect on the param tree."""
         if not isinstance(cfg, ModelConfig):
             cfg = parse_config(cfg, ch=ch, nc=nc, anchors=anchors)
-        net = DetectionNet(cfg=cfg, deploy=deploy)
+        net = DetectionNet(cfg=cfg, deploy=deploy, remat=remat)
         strides = _derive_strides(net, cfg)
         anchors_px = np.asarray(cfg.anchors, dtype=np.float32).reshape(
             cfg.nl, cfg.na, 2)

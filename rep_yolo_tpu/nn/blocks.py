@@ -284,16 +284,20 @@ class RepSBlock(nn.Module):
                          name="reparam_conv")(x)
             return jax.nn.silu(y)
 
-        out = jnp.zeros(())
+        # accumulate without a scalar seed: jnp.zeros(()) is f32 and would
+        # silently promote the whole (bf16) mixed-precision forward AND
+        # its backward to f32 (measured 690 -> f32 backward on v5e)
+        out = None
+        add = lambda a, b: b if a is None else a + b
         if self.c1 == self.c2 and self.s == 1:
-            out = out + BN(name="rbr_skip")(x, train)
+            out = add(out, BN(name="rbr_skip")(x, train))
         if self.k > 1:
             s = ConvUnit(self.c2, 1, self.s, 0, name="rbr_scale_conv")(x)
-            out = out + BN(name="rbr_scale_bn")(s, train)
+            out = add(out, BN(name="rbr_scale_bn")(s, train))
         for i in range(self.num_conv_branches):
             b = ConvUnit(self.c2, self.k, self.s, self.p,
                          name=f"rbr_conv_{i}_conv")(x)
-            out = out + BN(name=f"rbr_conv_{i}_bn")(b, train)
+            out = add(out, BN(name=f"rbr_conv_{i}_bn")(b, train))
         return jax.nn.silu(out)
 
 

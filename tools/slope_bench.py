@@ -15,9 +15,12 @@ tools/trace_rollup.py.
 
 from __future__ import annotations
 
+import pathlib
 import statistics
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
