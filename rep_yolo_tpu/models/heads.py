@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from rep_yolo_tpu.nn import blocks
 from rep_yolo_tpu.nn.initializers import (
     conv_kernel_init,
     conv_bias_init_for,
@@ -30,7 +31,7 @@ def _head_conv(no_na: int, c1: int, name: str) -> nn.Conv:
     return nn.Conv(no_na, (1, 1), use_bias=True,
                    kernel_init=conv_kernel_init,
                    bias_init=conv_bias_init_for(c1),
-                   precision=jax.lax.Precision.HIGHEST,
+                   precision=blocks.CONV_PRECISION,
                    name=name)
 
 

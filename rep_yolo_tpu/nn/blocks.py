@@ -581,7 +581,7 @@ class CrissCrossAttention(nn.Module):
             if _ax.fits(x.shape[1], x.shape[2], self.c1):
                 return _ax.criss_cross_fused(q, k, v, x, gamma)
 
-        hi = jax.lax.Precision.HIGHEST
+        hi = CONV_PRECISION
         # TPU-optimized but mathematically identical formulation of the
         # reference's permute+bmm choreography (models/common.py:3693-3726):
         # 1) the column branch runs in a once-transposed (B,W,H,C) layout so
@@ -648,7 +648,7 @@ class VerticalAttention(nn.Module):
             if _ax.fits(x.shape[1], x.shape[2], self.c1):
                 return _ax.vertical_fused(q, k, v, x, gamma)
 
-        hi = jax.lax.Precision.HIGHEST
+        hi = CONV_PRECISION
         # same (B,W,H,C)-layout trick as CrissCrossAttention
         qT = jnp.transpose(q, (0, 2, 1, 3))
         kT = jnp.transpose(k, (0, 2, 1, 3))

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from rep_yolo_tpu.nn import blocks as B
 from rep_yolo_tpu.nn.blocks import (
     BN, Bottleneck, ConvBnAct, ConvUnit, GhostConv, SPPCSPC, Stem, _act,
     autopad, dw_groups, max_pool,
@@ -175,7 +176,7 @@ class _rect_conv(nn.Module):
         y = nn.Conv(self.c2, self.k, strides=self.s,
                     padding=((ph, ph), (pw, pw)), feature_group_count=self.g,
                     use_bias=self.deploy,
-                    precision=jax.lax.Precision.HIGHEST, name="conv")(x)
+                    precision=B.CONV_PRECISION, name="conv")(x)
         if not self.deploy:
             y = BN(name="bn")(y, train)
         return jax.nn.silu(y)
@@ -252,7 +253,7 @@ class SpConv2d(nn.Module):
         y = jnp.concatenate(parts, axis=-1)
         return nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
                        padding=((self.p, self.p), (self.p, self.p)),
-                       use_bias=True, precision=jax.lax.Precision.HIGHEST,
+                       use_bias=True, precision=B.CONV_PRECISION,
                        name="conv")(y)
 
 
@@ -594,7 +595,7 @@ class ASPP(nn.Module):
         for i, r in enumerate(self.rates):
             y = nn.Conv(self.c2, (3, 3), padding=((r, r), (r, r)),
                         kernel_dilation=(r, r), use_bias=False,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=B.CONV_PRECISION,
                         name=f"b{i + 1}_conv")(x)
             y = BN(name=f"b{i + 1}_bn")(y, train)
             branches.append(jax.nn.relu(y))
@@ -640,7 +641,7 @@ class SpatialAttention(nn.Module):
         mx = jnp.max(x, axis=-1, keepdims=True)
         p = 3 if self.k == 7 else 1
         gate = nn.Conv(1, (self.k, self.k), padding=((p, p), (p, p)),
-                       use_bias=False, precision=jax.lax.Precision.HIGHEST,
+                       use_bias=False, precision=B.CONV_PRECISION,
                        name="conv")(jnp.concatenate([avg, mx], -1))
         return x * jax.nn.sigmoid(gate)
 
