@@ -53,12 +53,23 @@ def set_conv_precision(p) -> None:
 # per CrissCross/Vertical block instead of XLA's ~15 ops + layout copies.
 # Inference-only (train keeps the XLA path: dropout + exact golden grads).
 # Enabled by the serving/bench paths via set_fused_attention(True).
+# max_hw limits fusion to blocks with H*W <= max_hw — the kernels' layout
+# constraints cascade relayout copies at the largest (80x80) scale, but
+# the small-scale blocks' boundaries are cheap (see BASELINE.md).
 FUSED_ATTENTION = False
+FUSED_ATTENTION_MAX_HW: int | None = None
 
 
-def set_fused_attention(enabled: bool) -> None:
-    global FUSED_ATTENTION
+def set_fused_attention(enabled: bool, max_hw: int | None = None) -> None:
+    global FUSED_ATTENTION, FUSED_ATTENTION_MAX_HW
     FUSED_ATTENTION = enabled
+    FUSED_ATTENTION_MAX_HW = max_hw
+
+
+def _use_fused_attention(h: int, w: int) -> bool:
+    if not FUSED_ATTENTION:
+        return False
+    return FUSED_ATTENTION_MAX_HW is None or h * w <= FUSED_ATTENTION_MAX_HW
 
 
 def autopad(k: int, p: int | None = None) -> int:
@@ -576,7 +587,7 @@ class CrissCrossAttention(nn.Module):
             train))
 
         gamma = self.param("gamma", nn.initializers.zeros, (1,))
-        if FUSED_ATTENTION and not train:
+        if _use_fused_attention(x.shape[1], x.shape[2]) and not train:
             from rep_yolo_tpu.ops.pallas import axial_attention as _ax
             if _ax.fits(x.shape[1], x.shape[2], self.c1):
                 return _ax.criss_cross_fused(q, k, v, x, gamma)
@@ -643,7 +654,7 @@ class VerticalAttention(nn.Module):
             train))
 
         gamma = self.param("gamma", nn.initializers.zeros, (1,))
-        if FUSED_ATTENTION and not train:
+        if _use_fused_attention(x.shape[1], x.shape[2]) and not train:
             from rep_yolo_tpu.ops.pallas import axial_attention as _ax
             if _ax.fits(x.shape[1], x.shape[2], self.c1):
                 return _ax.vertical_fused(q, k, v, x, gamma)

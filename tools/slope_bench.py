@@ -82,6 +82,8 @@ def main():
     deploy, fused, x = build(batch)
     if "--fused-attn" in sys.argv:
         blocks_lib.set_fused_attention(True)
+    if "--fused-attn-small" in sys.argv:
+        blocks_lib.set_fused_attention(True, max_hw=40 * 40)
 
     def fwd(v, xc):
         out = deploy.apply(v, xc, train=False)
