@@ -50,6 +50,13 @@ def parse_args(argv=None):
     p.add_argument("--resume", default=None)
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--devices", type=int, default=0,
+                   help="data-parallel over this many devices (0 = all "
+                        "visible). The batch is sharded over the mesh "
+                        "'data' axis; params/optimizer replicated; grad "
+                        "all-reduce + cross-chip BN stats come from XLA's "
+                        "partitioner (the DDP/SyncBN analog, reference "
+                        "train.py:249-292,610-612)")
     p.add_argument("--native-loader", action="store_true",
                    help="use the C++ decode/prefetch loader")
     p.add_argument("--workers", type=int, default=0,
@@ -128,14 +135,37 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
     val_ds = (DetectionDataset.from_path(args.val_data, args.img_size,
                                          args.nc, args.max_labels)
               if args.val_data else ds)
+    # device mesh (DP): single-device is the 1-element degenerate mesh.
+    # Multi-host: each process loads its shard of the global batch
+    # (Loader shard_index/num_shards replaces DistributedSampler,
+    # reference utils/datasets.py:82).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = args.devices or len(jax.devices())
+    devices = jax.devices()[:n_dev]
+    assert len(devices) == n_dev, (
+        f"--devices {n_dev} but only {len(jax.devices())} visible")
+    assert args.batch_size % n_dev == 0, (
+        f"--batch-size {args.batch_size} must be divisible by "
+        f"{n_dev} devices (reference train.py:611)")
+    mesh = make_mesh(devices)
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    if n_dev > 1:
+        print(f"data-parallel over {n_dev} devices: "
+              f"{args.batch_size // n_dev} imgs/device")
+
+    n_proc = jax.process_count()
+    local_bs = args.batch_size // n_proc
     if args.native_loader:
         from rep_yolo_tpu.data.native_loader import NativeLoader
 
-        loader = NativeLoader(ds, args.batch_size, shuffle=True,
+        loader = NativeLoader(ds, local_bs, shuffle=True,
                               seed=args.seed,
                               n_threads=args.workers or None)
     else:
-        loader = Loader(ds, args.batch_size, shuffle=True, seed=args.seed)
+        loader = Loader(ds, local_bs, shuffle=True, seed=args.seed,
+                        shard_index=jax.process_index(), num_shards=n_proc)
     nb = len(loader)
     print(f"train: {len(ds)} images, {nb} batches/epoch")
 
@@ -184,7 +214,10 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
             mixed_precision=args.bf16)
         # donation is unsafe across programs of different shapes: the state
         # buffers are shared by every bucket's executable
-        steps = {s: jax.jit(f) for s, f in steps.items()}
+        steps = {s: jax.jit(f, in_shardings=(repl, shard, shard, shard,
+                                             shard),
+                            out_shardings=(repl, repl))
+                 for s, f in steps.items()}
         sizes = list(steps)
         ms_rng = np.random.default_rng(args.seed + 7)
 
@@ -194,15 +227,28 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
         step_fn = make_train_step(model, loss_cfg, opt_cfg, args.img_size,
                                   augment_fn=augment_fn, loss_mode=loss_mode,
                                   mixed_precision=args.bf16)
-        step_fn = jax.jit(step_fn, donate_argnums=(0,))
+        step_fn = jax.jit(step_fn,
+                          in_shardings=(repl, shard, shard, shard, shard),
+                          out_shardings=(repl, repl), donate_argnums=(0,))
 
     state = create_train_state(variables, jax.random.PRNGKey(args.seed + 1))
+    state = jax.device_put(state, repl)
+
+    if n_proc > 1:
+        # multi-host: assemble each global batch from per-process shards
+        def put_batch(x):
+            return jax.make_array_from_process_local_data(
+                shard, np.asarray(x))
+    else:
+        def put_batch(x):
+            return jax.device_put(jnp.asarray(x), shard)
+
     start_epoch = 0
     if args.resume:
         # restore full TrainState + epoch pointer (reference train.py:216-241)
         from rep_yolo_tpu.train.checkpoint import load_checkpoint
 
-        state = load_checkpoint(args.resume, state)
+        state = jax.device_put(load_checkpoint(args.resume, state), repl)
         meta_path = Path(args.resume).with_suffix(".json")
         if meta_path.exists():
             start_epoch = json.loads(meta_path.read_text()).get("epoch", -1) + 1
@@ -220,6 +266,7 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
         class_w = labels_to_class_weights(ds.labels, model.cfg.nc)
 
     best_fitness = 0.0
+    res = None  # last eval result (stays None if no epoch evals ran)
     maps = np.zeros(model.cfg.nc)  # per-class mAP for image-weight updates
     results_file = out_dir / "results.txt"
     for epoch in range(start_epoch, args.epochs):
@@ -235,9 +282,8 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
             batches = loader.epoch(epoch)
         for batch in batches:
             state, comps = step_fn(
-                state, jnp.asarray(batch["images"]),
-                jnp.asarray(batch["hw"]), jnp.asarray(batch["labels"]),
-                jnp.asarray(batch["mask"]))
+                state, put_batch(batch["images"]), put_batch(batch["hw"]),
+                put_batch(batch["labels"]), put_batch(batch["mask"]))
             mloss += np.asarray([float(comps[k]) for k in
                                  ("box", "obj", "cls", "total")])
             count += 1

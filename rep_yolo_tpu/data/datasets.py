@@ -92,6 +92,57 @@ def load_label_file(path: str, nc: int) -> np.ndarray:
     return l
 
 
+def _cache_key(files: list[str]) -> str:
+    """Hash of the image list + image/label sizes+mtimes — invalidates on
+    any added/removed/edited file (reference keys its cache on a hash of
+    the label+image paths and re-verifies on size change,
+    utils/datasets.py:470-523)."""
+    h = hashlib.md5()
+    for f in files:
+        h.update(f.encode())
+        for p in (f, _img2label(f)):
+            try:
+                st = os.stat(p)
+                h.update(f"{st.st_size},{st.st_mtime_ns}".encode())
+            except OSError:
+                h.update(b"missing")
+    return h.hexdigest()
+
+
+def _cache_path_for(path: Path) -> Path:
+    return (path / "labels.cache.npz") if path.is_dir() \
+        else path.with_suffix(".cache.npz")
+
+
+def load_labels_cached(files: list[str], nc: int,
+                       cache_path: Path | None) -> list[np.ndarray]:
+    """Parse + verify all label files, memoized in a single .npz keyed on
+    the dataset hash (ragged labels stored as one (N,5) array + counts)."""
+    key = _cache_key(files)
+    if cache_path is not None and cache_path.exists():
+        try:
+            with np.load(cache_path, allow_pickle=False) as z:
+                if str(z["key"]) == key:
+                    counts = z["counts"]
+                    data = z["data"]
+                    offs = np.concatenate([[0], np.cumsum(counts)])
+                    return [data[offs[i]:offs[i + 1]]
+                            for i in range(len(counts))]
+        except Exception:
+            pass  # corrupt/stale cache: fall through to re-parse
+    labels = [load_label_file(_img2label(f), nc) for f in files]
+    if cache_path is not None:
+        try:
+            data = (np.concatenate(labels, axis=0) if labels
+                    else np.zeros((0, 5), np.float32))
+            np.savez(cache_path, key=key,
+                     counts=np.asarray([len(l) for l in labels], np.int64),
+                     data=data)
+        except OSError:
+            pass  # read-only dataset dir: cache is best-effort
+    return labels
+
+
 @dataclasses.dataclass
 class DetectionDataset:
     """Fixed-shape detection dataset."""
@@ -104,9 +155,11 @@ class DetectionDataset:
 
     @classmethod
     def from_path(cls, path: str, img_size: int = 640, nc: int = 1,
-                  max_labels: int = 120) -> "DetectionDataset":
+                  max_labels: int = 120, cache: bool = True
+                  ) -> "DetectionDataset":
         files = discover_images(path)
-        labels = [load_label_file(_img2label(f), nc) for f in files]
+        cache_path = _cache_path_for(Path(path)) if cache else None
+        labels = load_labels_cached(files, nc, cache_path)
         return cls(img_files=files, labels=labels, img_size=img_size,
                    max_labels=max_labels, nc=nc)
 

@@ -43,16 +43,25 @@ _ENABLED = False
 
 
 def default_select(k: int, cin: int, cout: int) -> bool:
-    """Empirical v5e win table (BASELINE.md int8 probes)."""
+    """Empirical v5e win table (BASELINE.md int8 probes): thin 1x1s win
+    2.2-2.3x; wide 1x1s (cin>=512) measured roughly neutral and are
+    excluded; 3x3s win except 256->256 (bf16 already at 235 TF/s)."""
     if k == 1:
-        return cin >= 48 and cout <= 256
+        return 48 <= cin < 512 and cout <= 256
     return cin >= 48 and not (cin == 256 and cout == 256)
 
 
 def enable(scales: dict[str, float],
            select: Callable[[int, int, int], bool] | None = None) -> None:
-    """Turn on int8 for calibrated convs passing `select` (applies lazily:
-    ConvUnit consults the registry at trace time)."""
+    """Turn on int8 for calibrated convs passing `select`.
+
+    Applies at *trace* time: ConvUnit consults the registry when the
+    forward is traced, and jit caches are not keyed on it — call before
+    the first traced forward of the function you care about (same
+    contract as set_conv_precision). Toggling after a function has been
+    jitted has no effect on that function's cached executable; re-jit
+    (or call `.clear_cache()` on the jitted fn) to pick up the change.
+    """
     global _SCALES, _ENABLED
     _SCALES = {p: float(s) for p, s in scales.items()}
     _SELECT[0] = select or default_select
@@ -60,6 +69,7 @@ def enable(scales: dict[str, float],
 
 
 def disable() -> None:
+    """Trace-time toggle — same caching caveat as `enable`."""
     global _ENABLED
     _ENABLED = False
 
@@ -127,12 +137,11 @@ def calibrate(model, variables: dict, batches: list[jax.Array],
     run_j = jax.jit(run)
     maxes: dict[str, float] = {}
     for x in batches:
-        n_before = len(paths)
         vals = jax.device_get(run_j(variables, x))
         # jit caching: the interceptor only runs on (re)trace, so `paths`
         # grows once per distinct batch shape — always use the first trace's
         # ordering (identical across traces of the same model).
-        order = paths[:len(vals)] if n_before == 0 else paths[:len(vals)]
+        order = paths[:len(vals)]
         for p, a in zip(order, vals):
             maxes[p] = max(maxes.get(p, 0.0), float(a))
     return {p: a * margin / 127.0 for p, a in maxes.items() if a > 0.0}

@@ -16,6 +16,7 @@ from pathlib import Path
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -77,9 +78,19 @@ def latest_run(root: str | Path = "runs/train") -> Path | None:
     return cands[-1].with_suffix("") if cands else None
 
 
-def strip_to_deploy(ema_variables: dict) -> dict:
-    """The strip_optimizer analog: keep EMA weights only (the reference
-    swaps EMA->model and drops the optimizer, utils/general.py:1145-1158).
-    Fusion to deploy weights is a separate pure step (model.fuse).
+def strip_to_deploy(state_or_variables, half: bool = True) -> dict:
+    """The strip_optimizer analog (reference utils/general.py:1145-1158):
+    swap EMA->model, drop the optimizer/RNG/counters, and optionally
+    halve precision (torch `.half()` -> bf16 here). Accepts a TrainState
+    (uses its EMA shadow) or a bare variables dict. Fusion to deploy
+    weights is a separate pure step (model.fuse).
     """
-    return ema_variables
+    v = getattr(getattr(state_or_variables, "ema", None), "variables", None)
+    if v is None:
+        v = state_or_variables
+    v = {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
+    if half:
+        v = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == np.float32 else a, v)
+    return v

@@ -71,7 +71,8 @@ def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
     """
     anchors_grid = jnp.asarray(model.anchors_grid)
     strides = model.strides
-    groups = None  # computed lazily on first call (static across steps)
+    # param->group ids are derived inside apply_updates at trace time
+    # (pure path-based mapping; traced once per compiled step)
     mode = loss_mode or ("ota" if use_ota else "classic")
     loss_size = resize_to or img_size
 
@@ -116,7 +117,7 @@ def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
         (loss, (comps, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, images, labels, mask, k_drop)
         new_params, new_opt = optim_lib.apply_updates(
-            state.params, grads, state.opt, opt_cfg, groups)
+            state.params, grads, state.opt, opt_cfg)
         new_ema = update_ema(state.ema, {"params": new_params,
                                          "batch_stats": new_stats})
         return TrainState(params=new_params, batch_stats=new_stats,

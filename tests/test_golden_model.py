@@ -7,9 +7,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
 from rep_yolo_tpu.models.model import RepYOLO
 from rep_yolo_tpu.utils.torch_import import import_torch_state
 from tests.conftest import load_golden
+
+pytestmark = pytest.mark.slow  # full-graph jit compiles dominate
 
 
 @pytest.fixture(scope="module")

@@ -255,3 +255,35 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     meta = json.loads((tmp_path / "last.json").read_text())
     assert meta["epoch"] == 4
+
+
+def test_label_cache_roundtrip(tmp_path):
+    """Label .cache: second from_path load hits the cache (no re-parse) and
+    editing a label file invalidates it (reference utils/datasets.py:470-523)."""
+    from rep_yolo_tpu.data.datasets import (DetectionDataset, _cache_path_for,
+                                            make_synthetic_dataset)
+
+    root = tmp_path / "synth"
+    make_synthetic_dataset(6, 64, 1, 8, seed=0, root=root)
+    ds1 = DetectionDataset.from_path(root, 64, 1, 8)
+    cache = _cache_path_for(root)
+    assert cache.exists(), "first load must write labels.cache.npz"
+
+    # poison every label txt: a cache hit must ignore the new contents
+    for f in (root / "labels").glob("*.txt"):
+        mtime = f.stat().st_mtime_ns
+        f.write_text("0 0.5 0.5 0.1 0.1")
+        import os as _os
+        _os.utime(f, ns=(mtime, mtime))  # keep mtime/size-key stable? sizes differ
+    # sizes changed -> key changed -> cache invalidated -> labels re-parsed
+    ds2 = DetectionDataset.from_path(root, 64, 1, 8)
+    assert all(len(l) == 1 for l in ds2.labels)
+
+    # stable files -> cache hit reproduces identical labels
+    ds3 = DetectionDataset.from_path(root, 64, 1, 8)
+    for a, b in zip(ds2.labels, ds3.labels):
+        np.testing.assert_array_equal(a, b)
+    # cache-off path still works
+    ds4 = DetectionDataset.from_path(root, 64, 1, 8, cache=False)
+    for a, b in zip(ds2.labels, ds4.labels):
+        np.testing.assert_array_equal(a, b)

@@ -5,8 +5,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
 import rep_yolo_tpu.nn.blocks as B
 from rep_yolo_tpu.ops import quant
+
+pytestmark = pytest.mark.slow  # full-graph jit compiles dominate
 
 CFG = "cfg/rep_yolo_tiny_test.yaml"
 

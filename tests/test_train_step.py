@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from rep_yolo_tpu.data.augment import AugmentConfig, augment_batch
@@ -14,6 +15,8 @@ from rep_yolo_tpu.parallel.mesh import make_mesh
 from rep_yolo_tpu.train import optim as optim_lib
 from rep_yolo_tpu.train.loss import LossConfig
 from rep_yolo_tpu.train.trainer import create_train_state, make_train_step
+
+pytestmark = pytest.mark.slow  # full-graph jit compiles dominate
 
 CFG = "cfg/rep_yolo_tiny_test.yaml"
 SIZE = 64
@@ -107,3 +110,18 @@ def test_augment_batch_shapes_and_ranges():
     lab = np.asarray(out.labels)
     msk = np.asarray(out.mask)
     assert (lab[msk][:, 1:] >= 0).all() and (lab[msk][:, 1:] <= 1).all()
+
+
+def test_cli_train_mesh_smoke(tmp_path):
+    """The training CLI jits its step over the full 8-device mesh (DDP
+    analog, reference train.py:249-292,610-612): smoke 1 epoch of
+    synthetic data sharded batch-over-devices, with eval + checkpoint."""
+    from rep_yolo_tpu.cli.train import main
+
+    out_dir = main(["--data", "synthetic:8", "--cfg", CFG, "--epochs", "1",
+                    "--batch-size", "8", "--img-size", "64",
+                    "--max-labels", "8", "--devices", "8", "--no-ota",
+                    "--no-augment", "--project", str(tmp_path),
+                    "--eval-every", "1"])
+    assert (out_dir / "results.txt").exists()
+    assert (out_dir / "last.json").exists()

@@ -77,12 +77,19 @@ def slope(step_fn, fused, x, label: str, batch: int):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    batch = int(args[0]) if args else 128
+    import argparse
+
+    p = argparse.ArgumentParser("slope_bench")
+    p.add_argument("batch", nargs="?", type=int, default=128)
+    p.add_argument("--fused-attn", action="store_true")
+    p.add_argument("--fused-attn-small", action="store_true")
+    p.add_argument("--trace", default=None, metavar="DIR")
+    opts = p.parse_args()
+    batch = opts.batch
     deploy, fused, x = build(batch)
-    if "--fused-attn" in sys.argv:
+    if opts.fused_attn:
         blocks_lib.set_fused_attention(True)
-    if "--fused-attn-small" in sys.argv:
+    if opts.fused_attn_small:
         blocks_lib.set_fused_attention(True, max_hw=40 * 40)
 
     def fwd(v, xc):
@@ -98,11 +105,10 @@ def main():
     loop = slope(fwd, fused, x, "fwd raw maps", batch)
     slope(pred_nms, fused, x, "predict + NMS", batch)
 
-    if "--trace" in sys.argv:
-        tdir = sys.argv[sys.argv.index("--trace") + 1]
-        with jax.profiler.trace(tdir):
+    if opts.trace:
+        with jax.profiler.trace(opts.trace):
             float(loop(fused, x, 3))
-        print(f"trace written under {tdir} (3 fwd iterations)")
+        print(f"trace written under {opts.trace} (3 fwd iterations)")
 
 
 if __name__ == "__main__":
