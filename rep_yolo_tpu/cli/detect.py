@@ -25,6 +25,10 @@ def parse_args(argv=None):
     p.add_argument("--iou-thres", type=float, default=0.45)
     p.add_argument("--nc", type=int, default=1)
     p.add_argument("--save-txt", action="store_true")
+    p.add_argument("--augment", action="store_true",
+                   help="test-time augmentation: 3 scales x flips, merged "
+                        "before NMS (reference detect.py:90, "
+                        "models/yolo.py:569-585)")
     p.add_argument("--no-fuse", action="store_true",
                    help="run the train-mode multi-branch forward")
     p.add_argument("--project", default="runs/detect")
@@ -64,10 +68,12 @@ def main(argv=None):
 
     model, variables = load_model_and_vars(args)
 
+    predict = model.predict_tta if args.augment else model.predict
+
     @jax.jit
     def run(images, hw):
         imgs, ratio, pad = letterbox_batch(images, hw, size)
-        pred = model.predict(variables, imgs)
+        pred = predict(variables, imgs)
         det = non_max_suppression(pred, args.conf_thres, args.iou_thres,
                                   max_nms=1024, nc=model.cfg.nc)
         return det, ratio, pad

@@ -35,6 +35,11 @@ def parse_args(argv=None):
     p.add_argument("--no-ota", action="store_true",
                    help="use classic ComputeLoss (the reference train.py "
                         "step default) instead of simOTA")
+    p.add_argument("--no-accumulate", action="store_true",
+                   help="disable gradient accumulation to the nominal "
+                        "batch 64 (reference train.py:116-117 accumulates "
+                        "round(64/batch) micro-batches per optimizer step, "
+                        "ramping 1->accumulate during warmup)")
     p.add_argument("--aux", action="store_true",
                    help="train with auxiliary heads + aux-OTA loss "
                         "(train_aux.py path; use an IAuxDetect cfg)")
@@ -110,6 +115,7 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
     from rep_yolo_tpu.train.evaluate import evaluate
     from rep_yolo_tpu.train.hyp import load_hyp, scale_gains
     from rep_yolo_tpu.train.loss import LossConfig
+    from rep_yolo_tpu.train import trainer as trainer_lib
     from rep_yolo_tpu.train.trainer import create_train_state, make_train_step
     from rep_yolo_tpu.utils.general import increment_path
 
@@ -177,11 +183,14 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
     # hyp / loss / optim
     hyp = load_hyp(hyp_override if hyp_override is not None else args.hyp)
     ghyp = scale_gains(hyp, model.cfg.nl, model.cfg.nc, args.img_size)
+    from rep_yolo_tpu.train.loss import balance_for
+
     loss_cfg = LossConfig(
         nc=model.cfg.nc, box_gain=ghyp["box"], obj_gain=ghyp["obj"],
         cls_gain=ghyp["cls"], cls_pw=hyp["cls_pw"], obj_pw=hyp["obj_pw"],
         anchor_t=hyp["anchor_t"], fl_gamma=hyp["fl_gamma"],
-        label_smoothing=hyp.get("label_smoothing", 0.0))
+        label_smoothing=hyp.get("label_smoothing", 0.0),
+        balance=balance_for(model.cfg.nl))
     opt_cfg = optim_lib.OptimConfig(
         lr0=hyp["lr0"], lrf=hyp["lrf"], momentum=hyp["momentum"],
         weight_decay=optim_lib.scaled_weight_decay(hyp["weight_decay"],
@@ -205,17 +214,21 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
 
     loss_mode = ("aux_ota" if args.aux
                  else ("classic" if args.no_ota else "ota"))
+    accum_final = (1 if args.no_accumulate
+                   else optim_lib.accumulate_steps(args.batch_size))
+    use_accum = accum_final > 1
+    step_shardings = (repl, shard, shard, shard, shard) + (
+        (repl,) if use_accum else ())
     if args.multi_scale:
         from rep_yolo_tpu.train.trainer import make_multiscale_train_steps
 
         steps = make_multiscale_train_steps(
             model, loss_cfg, opt_cfg, args.img_size,
             augment_fn=augment_fn, loss_mode=loss_mode,
-            mixed_precision=args.bf16)
+            mixed_precision=args.bf16, accumulate=use_accum)
         # donation is unsafe across programs of different shapes: the state
         # buffers are shared by every bucket's executable
-        steps = {s: jax.jit(f, in_shardings=(repl, shard, shard, shard,
-                                             shard),
+        steps = {s: jax.jit(f, in_shardings=step_shardings,
                             out_shardings=(repl, repl))
                  for s, f in steps.items()}
         sizes = list(steps)
@@ -226,12 +239,13 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
     else:
         step_fn = make_train_step(model, loss_cfg, opt_cfg, args.img_size,
                                   augment_fn=augment_fn, loss_mode=loss_mode,
-                                  mixed_precision=args.bf16)
-        step_fn = jax.jit(step_fn,
-                          in_shardings=(repl, shard, shard, shard, shard),
+                                  mixed_precision=args.bf16,
+                                  accumulate=use_accum)
+        step_fn = jax.jit(step_fn, in_shardings=step_shardings,
                           out_shardings=(repl, repl), donate_argnums=(0,))
 
-    state = create_train_state(variables, jax.random.PRNGKey(args.seed + 1))
+    state = create_train_state(variables, jax.random.PRNGKey(args.seed + 1),
+                               accumulate=use_accum)
     state = jax.device_put(state, repl)
 
     if n_proc > 1:
@@ -269,6 +283,9 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
     res = None  # last eval result (stays None if no epoch evals ran)
     maps = np.zeros(model.cfg.nc)  # per-class mAP for image-weight updates
     results_file = out_dir / "results.txt"
+    if not args.resume:
+        # pre-training snapshot (reference train.py:319 init.pt)
+        save_checkpoint(out_dir / "init", state, meta=dict(epoch=-1))
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         mloss = np.zeros(4)
@@ -281,9 +298,15 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
         else:
             batches = loader.epoch(epoch)
         for batch in batches:
-            state, comps = step_fn(
-                state, put_batch(batch["images"]), put_batch(batch["hw"]),
-                put_batch(batch["labels"]), put_batch(batch["mask"]))
+            inputs = (put_batch(batch["images"]), put_batch(batch["hw"]),
+                      put_batch(batch["labels"]), put_batch(batch["mask"]))
+            if use_accum:
+                # warmup ramp 1 -> accum_final (reference train.py:357)
+                ni = epoch * nb + count
+                tgt = trainer_lib.accum_target_for(ni, opt_cfg.nw,
+                                                   accum_final)
+                inputs += (jax.device_put(jnp.int32(tgt), repl),)
+            state, comps = step_fn(state, *inputs)
             mloss += np.asarray([float(comps[k]) for k in
                                  ("box", "obj", "cls", "total")])
             count += 1
@@ -312,12 +335,24 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
                                        "val/mAP50": res.map50,
                                        "val/mAP": res.map,
                                        "val/fitness": res.fitness})
-            save_checkpoint(out_dir / "last", state,
-                            meta=dict(epoch=epoch, fitness=res.fitness))
             if res.fitness > best_fitness:
                 best_fitness = res.fitness
                 save_checkpoint(out_dir / "best", state,
                                 meta=dict(epoch=epoch, fitness=res.fitness))
+                if epoch >= 200:
+                    # late-best snapshot (reference train.py:477-479)
+                    save_checkpoint(out_dir / f"best_{epoch:03d}", state,
+                                    meta=dict(epoch=epoch,
+                                              fitness=res.fitness))
+        # cadence (reference train.py:461-483): last every epoch; epoch
+        # snapshots at 0, every 25, and the final 5 epochs
+        fit = res.fitness if res is not None else 0.0
+        save_checkpoint(out_dir / "last", state,
+                        meta=dict(epoch=epoch, fitness=fit))
+        if (epoch == 0 or (epoch + 1) % 25 == 0
+                or epoch >= args.epochs - 5):
+            save_checkpoint(out_dir / f"epoch_{epoch:03d}", state,
+                            meta=dict(epoch=epoch, fitness=fit))
     logger.close()
     print(f"done. results in {out_dir}")
     return out_dir if return_dir else res

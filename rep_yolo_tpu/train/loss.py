@@ -56,6 +56,15 @@ class LossConfig:
         return 0.5 * self.label_smoothing
 
 
+def balance_for(nl: int) -> tuple:
+    """Per-level obj-loss balance (reference utils/loss.py:442):
+    3-level P3-P5 -> [4.0, 1.0, 0.4]; 4/5-level P3-P6/P7 ->
+    [4.0, 1.0, 0.25, 0.06, 0.02][:nl]."""
+    if nl == 3:
+        return (4.0, 1.0, 0.4)
+    return tuple([4.0, 1.0, 0.25, 0.06, 0.02][:nl])
+
+
 def bce_with_logits(x, z, pos_weight: float = 1.0):
     """Elementwise BCEWithLogits with pos_weight (torch semantics)."""
     return pos_weight * z * jax.nn.softplus(-x) + (1.0 - z) * jax.nn.softplus(x)

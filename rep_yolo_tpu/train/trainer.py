@@ -37,9 +37,15 @@ class TrainState(NamedTuple):
     opt: optim_lib.OptState
     ema: EMAState
     rng: jax.Array
+    # gradient accumulation (reference train.py:385-390): running grad sum
+    # + micro-batch count since the last optimizer apply. Empty dict when
+    # accumulation is off (accumulate == 1) so the pytree stays lean.
+    acc: Any = {}
+    acc_n: jax.Array | int = 0
 
 
-def create_train_state(variables: dict, rng: jax.Array) -> TrainState:
+def create_train_state(variables: dict, rng: jax.Array,
+                       accumulate: bool = False) -> TrainState:
     return TrainState(
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),
@@ -47,6 +53,9 @@ def create_train_state(variables: dict, rng: jax.Array) -> TrainState:
         ema=init_ema({"params": variables["params"],
                       "batch_stats": variables.get("batch_stats", {})}),
         rng=rng,
+        acc=(jax.tree.map(jnp.zeros_like, variables["params"])
+             if accumulate else {}),
+        acc_n=jnp.zeros((), jnp.int32) if accumulate else 0,
     )
 
 
@@ -54,7 +63,8 @@ def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
                     img_size: int, use_ota: bool = True,
                     augment_fn=None, loss_mode: str | None = None,
                     resize_to: int | None = None,
-                    mixed_precision: bool = False):
+                    mixed_precision: bool = False,
+                    accumulate: bool = False):
     """Build the jit-able train step.
 
     model: RepYOLO; augment_fn: optional on-device augmentation
@@ -68,6 +78,16 @@ def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
     optimizer state, BN stats, and loss math — the TPU-native analog of
     the reference's CUDA AMP (reference train.py:312,373; no loss
     scaling needed: bf16 shares f32's exponent range).
+    accumulate: gradient accumulation (reference train.py:116-117,385):
+    the step takes an extra trailing int32 `accum_target` arg, sums
+    grads into state.acc, and applies the optimizer + EMA only every
+    `accum_target` micro-batches (on the SUM, like torch — effective lr
+    scales with the accumulate count, which the reference's batch-scaled
+    weight decay assumes). `accum_target` is traced, so the host can
+    ramp it 1 -> nbs/total_batch during warmup (reference train.py:357)
+    within ONE compiled program. The optimizer step counter advances
+    every micro-batch either way, so warmup/cosine schedules stay keyed
+    to the batch iteration `ni` like the reference's.
     """
     anchors_grid = jnp.asarray(model.anchors_grid)
     strides = model.strides
@@ -103,7 +123,7 @@ def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
                                        loss_cfg)
         return loss, (comps, mutated["batch_stats"])
 
-    def train_step(state: TrainState, images, hw, labels, mask):
+    def _fwd_bwd(state: TrainState, images, hw, labels, mask):
         rng, k_aug, k_drop = jax.random.split(state.rng, 3)
         if augment_fn is not None:
             batch = augment_fn(images, hw, labels, mask, k_aug)
@@ -116,14 +136,57 @@ def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (comps, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, images, labels, mask, k_drop)
+        return rng, comps, new_stats, grads
+
+    def train_step(state: TrainState, images, hw, labels, mask):
+        rng, comps, new_stats, grads = _fwd_bwd(state, images, hw, labels,
+                                                mask)
         new_params, new_opt = optim_lib.apply_updates(
             state.params, grads, state.opt, opt_cfg)
         new_ema = update_ema(state.ema, {"params": new_params,
                                          "batch_stats": new_stats})
         return TrainState(params=new_params, batch_stats=new_stats,
-                          opt=new_opt, ema=new_ema, rng=rng), comps
+                          opt=new_opt, ema=new_ema, rng=rng,
+                          acc=state.acc, acc_n=state.acc_n), comps
 
-    return train_step
+    def train_step_accum(state: TrainState, images, hw, labels, mask,
+                         accum_target):
+        rng, comps, new_stats, grads = _fwd_bwd(state, images, hw, labels,
+                                                mask)
+        acc = jax.tree.map(jnp.add, state.acc, grads)
+        n = state.acc_n + 1
+        do_apply = n >= accum_target
+
+        def apply_branch(_):
+            new_params, new_opt = optim_lib.apply_updates(
+                state.params, acc, state.opt, opt_cfg)
+            new_ema = update_ema(state.ema, {"params": new_params,
+                                             "batch_stats": new_stats})
+            return (new_params, new_opt, new_ema,
+                    jax.tree.map(jnp.zeros_like, acc),
+                    jnp.zeros((), jnp.int32))
+
+        def skip_branch(_):
+            # keep the step counter == batch iteration ni so warmup /
+            # one-cycle schedules match the reference's ni-keyed interp
+            opt2 = state.opt._replace(step=state.opt.step + 1)
+            return state.params, opt2, state.ema, acc, n
+
+        new_params, new_opt, new_ema, new_acc, new_n = jax.lax.cond(
+            do_apply, apply_branch, skip_branch, None)
+        return TrainState(params=new_params, batch_stats=new_stats,
+                          opt=new_opt, ema=new_ema, rng=rng,
+                          acc=new_acc, acc_n=new_n), comps
+
+    return train_step_accum if accumulate else train_step
+
+
+def accum_target_for(ni: int, nw: int, final: int) -> int:
+    """Warmup accumulate ramp (reference train.py:357): interp 1 -> final
+    over the nw warmup iterations, then `final`."""
+    if final <= 1 or ni >= nw:
+        return max(final, 1)
+    return max(1, round(1 + (final - 1) * ni / max(nw, 1)))
 
 
 def multiscale_sizes(img_size: int, gs: int = 32,

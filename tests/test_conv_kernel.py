@@ -54,3 +54,78 @@ def test_conv1x1_cmajor_matches_xla():
     ref = _ref_conv(x, w, bias, 1)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def _ref_conv_q8(x_cm, w, bias, k, s_in, act="silu"):
+    """Emulate the kernel's quantization exactly: per-out-channel weight
+    scales, per-tensor act scale, s32 accumulate, f32 dequant+bias+act."""
+    C = x_cm.shape[1]
+    O = w.shape[-1]
+    wf = w.astype(jnp.float32).reshape(-1, O)
+    s_w = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-12) / 127.0
+    w_q = jnp.clip(jnp.round(wf / s_w), -127, 127)
+    x_q = jnp.clip(jnp.round(x_cm.astype(jnp.float32) / s_in), -127, 127)
+    x_nhwc = jnp.transpose(x_q, (0, 2, 3, 1))
+    p = k // 2
+    acc = jax.lax.conv_general_dilated(
+        x_nhwc, w_q.reshape(w.shape), (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = acc * (s_w * s_in) + bias
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    return jnp.transpose(y, (0, 3, 1, 2))
+
+
+@pytest.mark.parametrize("C,O", [(48, 48), (24, 48), (16, 32)])
+def test_conv3x3_q8_matches_emulated_int8(C, O):
+    from rep_yolo_tpu.ops.pallas.conv_kernel import conv3x3_cmajor_q8
+
+    B, H, W = 2, 16, 64
+    x = jax.random.uniform(jax.random.PRNGKey(0), (B, C, H, W)) * 2 - 1
+    w = jax.random.uniform(jax.random.PRNGKey(1), (3, 3, C, O)) - 0.5
+    bias = jax.random.uniform(jax.random.PRNGKey(2), (O,)) - 0.5
+    s_in = 1.0 / 127.0
+    y = conv3x3_cmajor_q8(x, w, bias, s_in, row_tile=8)
+    ref = _ref_conv_q8(x, w, bias, 3, s_in)
+    np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    # int8 quantization error vs the true float conv stays small
+    reff = _ref_conv(x, w, bias, 3)
+    err = np.abs(np.asarray(y, np.float32) - np.asarray(reff)).max()
+    assert err < 0.1, f"quantization error too large: {err}"
+
+
+def test_conv3x3_q8_int8_resident_chain():
+    """out_scale emits int8 that the next conv consumes directly (the
+    int8-resident dataflow that keeps s32/f32 off HBM between convs)."""
+    from rep_yolo_tpu.ops.pallas.conv_kernel import conv3x3_cmajor_q8
+
+    B, C, H, W = 1, 16, 16, 64
+    x = jax.random.uniform(jax.random.PRNGKey(0), (B, C, H, W)) * 2 - 1
+    w1 = jax.random.uniform(jax.random.PRNGKey(1), (3, 3, C, C)) - 0.5
+    w2 = jax.random.uniform(jax.random.PRNGKey(2), (3, 3, C, C)) - 0.5
+    b = jnp.zeros(C)
+    s1 = 1.0 / 127.0
+    # stage 1 emits int8 at scale s2; stage 2 consumes it as-is
+    y1f = _ref_conv_q8(x, w1, b, 3, s1)
+    s2 = float(jnp.max(jnp.abs(y1f))) / 127.0
+    y1_q = conv3x3_cmajor_q8(x, w1, b, s1, out_scale=s2, row_tile=8)
+    assert y1_q.dtype == jnp.int8
+    y2 = conv3x3_cmajor_q8(y1_q, w2, b, s2, row_tile=8)
+    ref2 = _ref_conv_q8(y1f, w2, b, 3, s2)
+    np.testing.assert_allclose(np.asarray(y2, np.float32), np.asarray(ref2),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_conv1x1_q8_matches_emulated_int8():
+    from rep_yolo_tpu.ops.pallas.conv_kernel import conv1x1_cmajor_q8
+
+    B, C, O, H, W = 2, 48, 24, 16, 64
+    x = jax.random.uniform(jax.random.PRNGKey(3), (B, C, H, W)) * 2 - 1
+    w = jax.random.uniform(jax.random.PRNGKey(4), (1, 1, C, O)) - 0.5
+    bias = jax.random.uniform(jax.random.PRNGKey(5), (O,)) - 0.5
+    s_in = 1.0 / 127.0
+    y = conv1x1_cmajor_q8(x, w, bias, s_in, row_tile=8)
+    ref = _ref_conv_q8(x, w, bias, 1, s_in)
+    np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)

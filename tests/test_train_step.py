@@ -125,3 +125,94 @@ def test_cli_train_mesh_smoke(tmp_path):
                     "--eval-every", "1"])
     assert (out_dir / "results.txt").exists()
     assert (out_dir / "last.json").exists()
+
+
+def test_grad_accumulation_applies_every_target(setup):
+    """accumulate mode (reference train.py:385-390): params/EMA update only
+    every accum_target micro-batches; grads sum in between; the step
+    counter still advances per micro-batch (ni-keyed schedules)."""
+    model, variables, _ = setup
+    loss_cfg = LossConfig(nc=1)
+    opt_cfg = optim_lib.OptimConfig(epochs=30, nb=10, lr0=0.01,
+                                    warmup_epochs=0, warmup_floor=0)
+    step = jax.jit(make_train_step(model, loss_cfg, opt_cfg, SIZE,
+                                   use_ota=True, accumulate=True))
+    state = create_train_state(variables, jax.random.PRNGKey(1),
+                               accumulate=True)
+    images, hw, labels, mask = _batch(4)
+    tgt = jnp.int32(2)
+
+    s1, _ = step(state, images, hw, labels, mask, tgt)
+    p0 = jax.tree.leaves(state.params)[0]
+    p1 = jax.tree.leaves(s1.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    assert int(s1.acc_n) == 1
+    assert int(s1.ema.updates) == 0
+    assert int(s1.opt.step) == 1
+    assert float(sum(jnp.abs(g).sum() for g in jax.tree.leaves(s1.acc))) > 0
+
+    s2, _ = step(s1, images, hw, labels, mask, tgt)
+    p2 = jax.tree.leaves(s2.params)[0]
+    assert float(jnp.abs(p2 - p0).sum()) > 0, "apply must fire at target"
+    assert int(s2.acc_n) == 0
+    assert int(s2.ema.updates) == 1
+    assert int(s2.opt.step) == 2
+    assert float(sum(jnp.abs(g).sum()
+                     for g in jax.tree.leaves(s2.acc))) == 0.0
+
+
+def test_accum_target_ramp():
+    from rep_yolo_tpu.train.trainer import accum_target_for
+
+    assert accum_target_for(0, 100, 8) == 1
+    assert accum_target_for(100, 100, 8) == 8
+    assert accum_target_for(50, 100, 8) == 4 or accum_target_for(50, 100, 8) == 5
+    assert accum_target_for(0, 100, 1) == 1
+    assert accum_target_for(500, 100, 8) == 8
+
+
+def test_p6_full_graph_shapes():
+    """cfg/rep_yolo_p6_aux.yaml (north-star config 5): 4 levels, strides
+    8/16/32/64, 4 lead + 4 aux maps at 1280 px — validated by abstract
+    eval (no FLOPs)."""
+    m = RepYOLO.from_config("cfg/rep_yolo_p6_aux.yaml")
+    assert m.cfg.nl == 4
+    assert tuple(m.strides) == (8.0, 16.0, 32.0, 64.0)
+
+    x = jax.ShapeDtypeStruct((1, 1280, 1280, 3), jnp.float32)
+
+    def fwd(x):
+        v = m.net.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+        out, _ = m.net.apply(v, x, train=True,
+                             rngs={"dropout": jax.random.PRNGKey(1)},
+                             mutable=["batch_stats"])
+        return out
+
+    shapes = jax.eval_shape(fwd, x)
+    assert len(shapes) == 8  # lead P3-P6 + aux P3-P6
+    assert [s.shape[1] for s in shapes] == [160, 80, 40, 20] * 2
+
+
+def test_p6_aux_ota_train_step():
+    """One real aux-OTA train step on a 4-level graph at 128 px (the
+    1280-bucket path at tiny depth, reference train_aux.py:300,362)."""
+    from rep_yolo_tpu.train.loss import balance_for
+
+    size = 128
+    model = RepYOLO.from_config("cfg/rep_yolo_p6_tiny_test.yaml")
+    variables = model.init(jax.random.PRNGKey(0), img_size=size)
+    loss_cfg = LossConfig(nc=1, balance=balance_for(model.cfg.nl))
+    opt_cfg = optim_lib.OptimConfig(epochs=3, nb=10, warmup_epochs=0,
+                                    warmup_floor=0)
+    step = jax.jit(make_train_step(model, loss_cfg, opt_cfg, size,
+                                   loss_mode="aux_ota"))
+    state = create_train_state(variables, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 1, (2, size, size, 3)), jnp.float32)
+    hw = jnp.full((2, 2), size, jnp.float32)
+    labels = jnp.zeros((2, M, 5)).at[:, 0].set(
+        jnp.asarray([0.0, 0.5, 0.5, 0.3, 0.3]))
+    mask = jnp.zeros((2, M), bool).at[:, 0].set(True)
+    state2, comps = step(state, images, hw, labels, mask)
+    assert np.isfinite(float(comps["total"]))
+    assert int(state2.opt.step) == 1
