@@ -36,12 +36,15 @@ def build_engine(cfg: str, ckpt: str | None, img_size: int, max_batch: int,
     from rep_yolo_tpu.ops.nms import non_max_suppression
 
     model = RepYOLO.from_config(cfg)
-    variables = model.init(jax.random.PRNGKey(0), img_size=256)
-    if ckpt:
-        from rep_yolo_tpu.train.checkpoint import load_checkpoint
+    # init/fuse on CPU (eager dispatch to a tunneled device is slow),
+    # then ship the fused params to the serving device
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = model.init(jax.random.PRNGKey(0), img_size=256)
+        if ckpt:
+            from rep_yolo_tpu.train.checkpoint import load_checkpoint
 
-        variables = load_checkpoint(ckpt, variables)
-    deploy, fused = model.fuse(variables)
+            variables = load_checkpoint(ckpt, variables)
+        deploy, fused = model.fuse(variables)
     fused = jax.device_put(fused, jax.devices()[0])
 
     @jax.jit

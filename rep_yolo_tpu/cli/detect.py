@@ -42,15 +42,22 @@ def load_model_and_vars(args):
     from rep_yolo_tpu.train.trainer import create_train_state
 
     model = RepYOLO.from_config(args.cfg, nc=args.nc)
-    variables = model.init(jax.random.PRNGKey(0), img_size=args.img_size)
-    if args.weights:
-        state = create_train_state(variables, jax.random.PRNGKey(0))
-        state = load_checkpoint(args.weights, state)
-        variables = state.ema.variables  # EMA weights (reference detect uses
-        #                                  the stripped EMA ckpt)
-    if args.no_fuse:
-        return model, variables
-    return model.fuse(variables)
+    # init + fuse eagerly on CPU (tunneled-device eager dispatch is slow);
+    # the jitted forward runs on the default device afterwards
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = model.init(jax.random.PRNGKey(0),
+                               img_size=args.img_size)
+        if args.weights:
+            state = create_train_state(variables, jax.random.PRNGKey(0))
+            state = load_checkpoint(args.weights, state)
+            variables = state.ema.variables  # EMA weights (reference
+            #                          detect uses the stripped EMA ckpt)
+        if args.no_fuse:
+            out = model, variables
+        else:
+            out = model.fuse(variables)
+    model_out, vars_out = out
+    return model_out, jax.device_put(vars_out, jax.devices()[0])
 
 
 def main(argv=None):

@@ -175,10 +175,13 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
     nb = len(loader)
     print(f"train: {len(ds)} images, {nb} batches/epoch")
 
-    # model
+    # model — init eagerly on CPU: op-by-op dispatch to a remote/tunneled
+    # accelerator is pathologically slow, and the state is device_put to
+    # the mesh right after anyway
     model = RepYOLO.from_config(args.cfg, nc=args.nc, remat=args.remat)
-    variables = model.init(jax.random.PRNGKey(args.seed),
-                           img_size=args.img_size)
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = model.init(jax.random.PRNGKey(args.seed),
+                               img_size=args.img_size)
 
     # hyp / loss / optim
     hyp = load_hyp(hyp_override if hyp_override is not None else args.hyp)

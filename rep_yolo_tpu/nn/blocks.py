@@ -126,6 +126,89 @@ class _ConvParams(nn.Module):
         return kern, bias
 
 
+# ---------------------------------------------------------------------------
+# Channel-major deploy fast path (ops/pallas/conv_kernel.py)
+#
+# The DER blocks are pure conv+bias+SiLU chains after fusion; XLA runs
+# their thin (24/48-ch) convs far under the MXU ceiling (BASELINE.md: l1
+# alone is 27% of the deploy forward). When enabled, DERBlock's deploy
+# branch executes the whole block through fused conv kernels instead:
+#   "q8"     — Pallas int8 channel-major kernels, int8-resident between
+#              convs (quant/s32-dot/dequant+SiLU in-kernel; needs
+#              calibration scales from ops/quant.calibrate)
+#   "xla_q8" — same int8-resident dataflow but XLA NHWC convs with the
+#              requant fused into each conv's epilogue
+#   "bf16"   — Pallas bf16 channel-major kernels (no scales needed)
+# Trace-time global (same contract as CONV_PRECISION): set BEFORE the
+# first traced forward.
+# ---------------------------------------------------------------------------
+CMAJOR_DEPLOY: str | None = None
+CMAJOR_SCALES: dict[str, float] = {}
+
+
+def set_cmajor_deploy(mode: str | None, scales: dict[str, float] | None = None,
+                      select=None) -> None:
+    """Enable the DER deploy fast path. `scales`: ops/quant.calibrate
+    output ({ConvUnit scope path: act scale}), required for the q8 modes.
+    `select(c1, h, w) -> bool` limits which DER blocks use it (default:
+    thin blocks, c1 <= 64)."""
+    global CMAJOR_DEPLOY, CMAJOR_SCALES, _CMAJOR_SELECT
+    assert mode in (None, "q8", "xla_q8", "bf16"), mode
+    CMAJOR_DEPLOY = mode
+    CMAJOR_SCALES = dict(scales or {})
+    _CMAJOR_SELECT = select or (lambda c1, h, w: c1 <= 64)
+
+
+_CMAJOR_SELECT = lambda c1, h, w: c1 <= 64
+
+
+class _NestedConvParams(nn.Module):
+    """Declares a deploy conv's {kernel, bias} under a nested module-name
+    chain, producing the SAME param paths as the regular module tree
+    (e.g. ("stage1", "reparam_conv") -> stage1/reparam_conv/w/{kernel,bias})
+    so the fast path consumes unmodified fused checkpoints. (The field is
+    `chain`, not `path` — nn.Module already owns a `path` property.)"""
+
+    chain: tuple
+    shape: tuple
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        if len(self.chain) == 0:
+            return _ConvParams(self.shape, True, self.fan_in, name="w")()
+        return _NestedConvParams(self.chain[1:], self.shape, self.fan_in,
+                                 name=self.chain[0])()
+
+
+def _xla_conv_q8(x_q, w, bias, s_in, out_scale=None):
+    """XLA NHWC int8 conv with the requant fused into the epilogue: int8
+    in -> s32 accumulate -> f32 dequant+bias+SiLU -> bf16 (or int8 at
+    out_scale). Weights quantized per-output-channel at trace time."""
+    from rep_yolo_tpu.ops.pallas.conv_kernel import quantize_weights
+
+    k = w.shape[0]
+    O = w.shape[-1]
+    w_q, s_w = quantize_weights(w.reshape(-1, O).T)      # (O, k*k*C)
+    w_q = w_q.T.reshape(w.shape)                          # HWIO int8
+    p = k // 2
+    acc = jax.lax.conv_general_dilated(
+        x_q, w_q, (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (s_w[:, 0] * s_in) + bias.astype(jnp.float32)
+    y = y * jax.nn.sigmoid(y)
+    if out_scale is not None:
+        return jnp.clip(jnp.round(y * (1.0 / out_scale)),
+                        -127, 127).astype(jnp.int8)
+    return y.astype(jnp.bfloat16)
+
+
+def _quantize_tensor(x, s):
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / s)),
+                    -127, 127).astype(jnp.int8)
+
+
 class ConvUnit(nn.Module):
     """Raw conv wrapper with torch-default init and explicit padding.
 
@@ -329,6 +412,12 @@ class DERBlock(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         c1, nb, dep = self.c1, self.num_conv_branches, self.deploy
 
+        if (dep and not train and CMAJOR_DEPLOY
+                and _CMAJOR_SELECT(c1, x.shape[1], x.shape[2])):
+            y = self._fast_deploy(x)
+            if y is not None:
+                return y
+
         def stage(name: str, ch: int, h: jax.Array) -> jax.Array:
             h = RepSBlock(ch, ch, 3, 1, 1, nb, dep, name=name)(h, train)
             return nn.Dropout(0.2, deterministic=not train)(h)
@@ -350,6 +439,117 @@ class DERBlock(nn.Module):
             train)
         x5 = jnp.concatenate([x1, x4_1, x4_3], axis=-1)
         return ConvBnAct(self.c2, 1, 1, deploy=dep, name="cv1")(x5, train)
+
+    def _fast_deploy(self, x: jax.Array) -> jax.Array | None:
+        """Execute the fused deploy block through the channel-major /
+        int8-resident conv kernels (see set_cmajor_deploy). Declares the
+        SAME param tree as the regular deploy path via _NestedConvParams.
+        Returns None (before declaring anything) when the mode needs
+        calibration scales that are missing."""
+        from rep_yolo_tpu.ops.pallas.conv_kernel import (
+            conv1x1_cmajor, conv1x1_cmajor_q8, conv3x3_cmajor,
+            conv3x3_cmajor_q8)
+
+        c1, c2 = self.c1, self.c2
+        half = c1 // 2
+        mode = CMAJOR_DEPLOY
+        # (name, module path, k, cin, cout) in dataflow order
+        layout = [
+            ("st1", ("stage1", "reparam_conv"), 3, c1, c1),
+            ("st2", ("stage2", "reparam_conv"), 3, c1, c1),
+            ("st3", ("stage3", "reparam_conv"), 3, c1, c1),
+            ("cv0_1", ("cv0_1", "conv"), 1, c1, half),
+            ("st4", ("stage4", "reparam_conv"), 3, half, half),
+            ("cv0_2", ("cv0_2", "conv"), 1, half, c1),
+            ("cv1_1", ("cv1_1", "conv"), 1, c1, half),
+            ("st5", ("stage5", "reparam_conv"), 3, half, half),
+            ("cv1_2", ("cv1_2", "conv"), 1, half, c1),
+            ("cv2_1", ("cv2_1", "conv"), 1, c1, half),
+            ("st6", ("stage6", "reparam_conv"), 3, half, half),
+            ("cv2_2", ("cv2_2", "conv"), 1, half, c1),
+            ("cv1", ("cv1",), 1, 3 * c1, c2),
+        ]
+        prefix = "/".join(self.scope.path) if self.scope is not None else ""
+        scales = {}
+        if mode in ("q8", "xla_q8"):
+            for name, path, _, _, _ in layout:
+                # ConvBnAct's inner ConvUnit scope is <name>/conv
+                key = f"{prefix}/{'/'.join(path if len(path) > 1 else (path[0], 'conv'))}"
+                s = CMAJOR_SCALES.get(key)
+                if s is None or s <= 0.0:
+                    return None  # uncalibrated: use the regular path
+                scales[name] = float(s)
+
+        params = {}
+        for name, path, k, cin, cout in layout:
+            mpath = path if len(path) > 1 else (path[0], "conv")
+            params[name] = _NestedConvParams(
+                mpath[1:], (k, k, cin, cout), cin * k * k, name=mpath[0])()
+
+        # consumer map: conv -> the conv whose input scale its int8
+        # output is emitted at (the concat parts use the fold below)
+        nxt = {"st1": "st2", "st2": "st3", "st3": "cv0_1", "cv0_1": "st4",
+               "st4": "cv0_2", "cv0_2": "cv1_1", "cv1_1": "st5",
+               "st5": "cv1_2", "cv1_2": "cv2_1", "cv2_1": "st6",
+               "st6": "cv2_2", "cv2_2": "cv1"}
+
+        def run_chain(h0, conv):
+            x1 = conv("st1", h0)
+            x2 = conv("st2", x1)
+            x3 = conv("st3", x2)
+            x4_1 = conv("cv0_2", conv("st4", conv("cv0_1", x3)))
+            x4_2 = conv("cv1_2", conv("st5", conv("cv1_1", x4_1)))
+            x4_3 = conv("cv2_2", conv("st6", conv("cv2_1", x4_2)))
+            return x1, x4_1, x4_3
+
+        k_cv1, b_cv1 = params["cv1"]
+        if mode in ("q8", "xla_q8"):
+            # concat sections arrive int8 at different scales (x1 @
+            # s(st2), x4_1 @ s(cv1_1), x4_3 @ s(cv1)): fold each
+            # section's scale into cv1's per-input-channel weights and
+            # run cv1 with s_in = 1 — exact, no int8 rescaling step.
+            sec = jnp.concatenate([
+                jnp.full((c1,), scales["st2"], jnp.float32),
+                jnp.full((c1,), scales["cv1_1"], jnp.float32),
+                jnp.full((c1,), scales["cv1"], jnp.float32)])
+            k_cv1 = k_cv1.astype(jnp.float32) * sec[None, None, :, None]
+
+        if mode in ("q8", "bf16"):
+            xc = jnp.transpose(x, (0, 3, 1, 2))
+            if mode == "q8":
+                def conv(name, h):
+                    kern, bias = params[name]
+                    fn = (conv3x3_cmajor_q8 if kern.shape[0] == 3
+                          else conv1x1_cmajor_q8)
+                    return fn(h, kern, bias, scales[name], act="silu",
+                              out_scale=scales[nxt[name]])
+            else:
+                def conv(name, h):
+                    kern, bias = params[name]
+                    fn = (conv3x3_cmajor if kern.shape[0] == 3
+                          else conv1x1_cmajor)
+                    return fn(h, kern.astype(h.dtype), bias, act="silu")
+
+            x1, x4_1, x4_3 = run_chain(xc, conv)
+            cat = jnp.concatenate([x1, x4_1, x4_3], axis=1)
+            if mode == "q8":
+                y = conv1x1_cmajor_q8(cat, k_cv1, b_cv1, 1.0, act="silu")
+            else:
+                y = conv1x1_cmajor(cat, k_cv1.astype(cat.dtype), b_cv1,
+                                   act="silu")
+            return jnp.transpose(y, (0, 2, 3, 1)).astype(x.dtype)
+
+        # mode == "xla_q8": NHWC int8-resident XLA convs
+        def conv(name, h):
+            kern, bias = params[name]
+            return _xla_conv_q8(h, kern, bias, scales[name],
+                                out_scale=scales[nxt[name]])
+
+        xq = _quantize_tensor(x, scales["st1"])
+        x1, x4_1, x4_3 = run_chain(xq, conv)
+        cat = jnp.concatenate([x1, x4_1, x4_3], axis=-1)
+        y = _xla_conv_q8(cat, k_cv1, b_cv1, 1.0)
+        return y.astype(x.dtype)
 
 
 class RepConv(nn.Module):

@@ -79,6 +79,34 @@ def _torch_key(collection: str, path: list[str], leaf: str) -> str:
     return ".".join(comps)
 
 
+def export_torch_state(variables: dict) -> dict[str, np.ndarray]:
+    """Inverse of import_torch_state: our variables tree -> a torch-style
+    {state_dict key: np.ndarray} mapping (kernels HWIO -> OIHW). Lets a
+    model trained here be loaded into the reference's torch Model for
+    cross-framework A/B evaluation."""
+    out: dict[str, np.ndarray] = {}
+
+    def convert(collection: str):
+        def leaf_fn(path, val):
+            parts = [p.key for p in path]
+            leaf = parts[-1]
+            key = _torch_key(collection, parts[:-1], leaf)
+            src = np.asarray(val, np.float32)
+            if leaf == "kernel" and src.ndim == 4:
+                src = src.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+            if leaf.startswith(("ia_", "im_")) and src.ndim == 4:
+                src = src.transpose(0, 3, 1, 2)  # (1,1,1,C) -> (1,C,1,1)
+            out[key] = src
+            return val
+
+        jax.tree_util.tree_map_with_path(leaf_fn,
+                                         variables.get(collection, {}))
+
+    convert("params")
+    convert("batch_stats")
+    return out
+
+
 def import_torch_state(variables: dict,
                        state: Mapping[str, np.ndarray],
                        strict: bool = True) -> dict:

@@ -129,3 +129,55 @@ def test_conv1x1_q8_matches_emulated_int8():
     ref = _ref_conv_q8(x, w, bias, 1, s_in)
     np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+class _DerOnly:
+    """Minimal model wrapper for quant.calibrate over a lone DERBlock."""
+
+    def __init__(self, mod):
+        self.mod = mod
+
+    def apply(self, variables, x, train=False):
+        return self.mod.apply(variables, x, train=train)
+
+
+@pytest.mark.parametrize("mode", ["bf16", "q8", "xla_q8"])
+def test_der_fast_deploy_matches_regular(mode):
+    """DERBlock deploy fast path (channel-major / int8-resident kernels)
+    vs the regular XLA deploy path: bf16 is near-exact; the q8 modes stay
+    within int8 quantization tolerance."""
+    import rep_yolo_tpu.nn.blocks as B
+    from rep_yolo_tpu.ops import quant
+
+    c1, c2, H = 16, 24, 32
+    der = B.DERBlock(c1, c2, deploy=True, name="der")
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, H, H, c1)) * 2 - 1
+    variables = der.init(jax.random.PRNGKey(1), x, train=False)
+    ref = der.apply(variables, x, train=False)
+
+    scales = None
+    if mode in ("q8", "xla_q8"):
+        scales = quant.calibrate(_DerOnly(der), variables, [x])
+        assert len(scales) == 13, sorted(scales)
+
+    try:
+        B.set_cmajor_deploy(mode, scales, select=lambda c, h, w: True)
+        out = der.apply(variables, x, train=False)
+    finally:
+        B.set_cmajor_deploy(None)
+
+    # param tree identical between paths
+    v2 = der.init(jax.random.PRNGKey(1), x, train=False)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(v2)
+
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    if mode == "bf16":
+        assert err / scale < 2e-2, f"bf16 fast path diverges: {err}"
+    else:
+        assert err / scale < 0.15, f"int8 fast path diverges: {err}"
+    # and it actually produces correlated outputs, not garbage
+    corr = np.corrcoef(np.asarray(out, np.float32).ravel(),
+                       np.asarray(ref).ravel())[0, 1]
+    assert corr > 0.99, corr

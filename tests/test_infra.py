@@ -287,3 +287,20 @@ def test_label_cache_roundtrip(tmp_path):
     ds4 = DetectionDataset.from_path(root, 64, 1, 8, cache=False)
     for a, b in zip(ds2.labels, ds4.labels):
         np.testing.assert_array_equal(a, b)
+
+
+def test_torch_state_roundtrip():
+    """export_torch_state inverts import_torch_state (key mapping +
+    transposes) on the tiny graph."""
+    import jax.numpy as jnp
+
+    from rep_yolo_tpu.models.model import RepYOLO
+    from rep_yolo_tpu.utils.torch_import import (export_torch_state,
+                                                 import_torch_state)
+
+    model = RepYOLO.from_config(CFG)
+    v = model.init(jax.random.PRNGKey(0), img_size=64)
+    state = export_torch_state(v)
+    v2 = import_torch_state(v, state, strict=True)
+    for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

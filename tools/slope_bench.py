@@ -83,6 +83,10 @@ def main():
     p.add_argument("batch", nargs="?", type=int, default=128)
     p.add_argument("--fused-attn", action="store_true")
     p.add_argument("--fused-attn-small", action="store_true")
+    p.add_argument("--der-fast", default=None,
+                   choices=["bf16", "q8", "xla_q8"],
+                   help="DER deploy fast path (blocks.set_cmajor_deploy); "
+                        "q8 modes calibrate on one random batch first")
     p.add_argument("--trace", default=None, metavar="DIR")
     opts = p.parse_args()
     batch = opts.batch
@@ -91,6 +95,18 @@ def main():
         blocks_lib.set_fused_attention(True)
     if opts.fused_attn_small:
         blocks_lib.set_fused_attention(True, max_hw=40 * 40)
+    if opts.der_fast:
+        scales = None
+        if opts.der_fast in ("q8", "xla_q8"):
+            from rep_yolo_tpu.ops import quant
+
+            xs = jax.device_put(
+                jax.random.uniform(jax.random.PRNGKey(2),
+                                   (2, SIZE, SIZE, 3), jnp.bfloat16),
+                jax.devices()[0])
+            scales = quant.calibrate(deploy, fused, [xs])
+            print(f"calibrated {len(scales)} convs", flush=True)
+        blocks_lib.set_cmajor_deploy(opts.der_fast, scales)
 
     def fwd(v, xc):
         out = deploy.apply(v, xc, train=False)
