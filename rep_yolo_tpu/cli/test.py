@@ -33,6 +33,13 @@ def parse_args(argv=None):
     p.add_argument("--verbose", action="store_true",
                    help="per-class P/R/AP table (reference test.py:231-236)")
     p.add_argument("--no-fuse", action="store_true")
+    p.add_argument("--rect", action="store_true",
+                   help="aspect-bucketed rectangular eval batches "
+                        "(reference test.py:91 rect=True); one compiled "
+                        "program per bucket shape")
+    p.add_argument("--rect-stride", type=int, default=64,
+                   help="bucket-shape quantum (model stride multiple); "
+                        "coarser = fewer compiles, more padding")
     return p.parse_args(argv)
 
 
@@ -68,7 +75,8 @@ def main(argv=None):
     ds = DetectionDataset.from_path(args.data, args.img_size, args.nc)
     res = evaluate(model, variables, ds, batch_size=args.batch_size,
                    img_size=args.img_size, conf_thres=args.conf_thres,
-                   iou_thres=args.iou_thres, save_json=args.save_json)
+                   iou_thres=args.iou_thres, save_json=args.save_json,
+                   rect=args.rect, rect_stride=args.rect_stride)
     out = dict(P=res.mp, R=res.mr, map50=res.map50, map=res.map,
                fitness=res.fitness,
                ms_per_img_infer=res.speed_ms[0],

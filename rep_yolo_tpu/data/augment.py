@@ -660,33 +660,37 @@ def augment_batch(images: jax.Array, hw: jax.Array, labels: jax.Array,
     return Batch(images=img, labels=out_labels, mask=out_mask)
 
 
-def letterbox_batch(images: jax.Array, hw: jax.Array, size: int,
-                    scaleup: bool = False):
+def letterbox_batch(images: jax.Array, hw: jax.Array,
+                    size: "int | tuple[int, int]", scaleup: bool = False):
     """Eval-path letterbox: resize content to fit `size`, center, pad 114
     (reference letterbox utils/datasets.py:984-1014 with auto=False).
-    Returns (imgs (B,size,size,3) float 0-1, ratio (B,), pad (B,2)).
+    `size` may be a single int (square) or a static (h, w) canvas — the
+    rect-eval bucket shapes (reference rect=True batch_shapes,
+    utils/datasets.py:424-446). Returns (imgs (B,sh,sw,3) float 0-1,
+    ratio (B,), pad (B,2) as (pad_x, pad_y)).
     """
-    B, S = images.shape[0], images.shape[1]
+    size_h, size_w = (size, size) if isinstance(size, int) else size
 
     def per_image(img, wh_):
         h, w = wh_[0], wh_[1]
-        r = jnp.minimum(size / h, size / w)
+        r = jnp.minimum(size_h / h, size_w / w)
         if not scaleup:
             r = jnp.minimum(r, 1.0)
         nh = jnp.round(h * r)
         nw = jnp.round(w * r)
-        oy = jnp.round((size - nh) / 2.0)
-        ox = jnp.round((size - nw) / 2.0)
+        oy = jnp.round((size_h - nh) / 2.0)
+        ox = jnp.round((size_w - nw) / 2.0)
         # diagonal mapping out -> src: separable two-matmul resample
         # (the gather formulation costs ~100x more on TPU)
-        out_idx = jnp.arange(size, dtype=jnp.float32)
-        ry, sy = _interp_matrix((out_idx - oy) / r, img.shape[0], bound=h)
-        rx, sx = _interp_matrix((out_idx - ox) / r, img.shape[1], bound=w)
+        idx_y = jnp.arange(size_h, dtype=jnp.float32)
+        idx_x = jnp.arange(size_w, dtype=jnp.float32)
+        ry, sy = _interp_matrix((idx_y - oy) / r, img.shape[0], bound=h)
+        rx, sx = _interp_matrix((idx_x - ox) / r, img.shape[1], bound=w)
         tmp = jnp.einsum("yh,hwc->ywc", ry, img)
         out = jnp.einsum("ywc,xw->yxc", tmp, rx)
         cover = sy[:, None] * sx[None, :]
         out = out + PAD_VALUE * (1.0 - cover)[..., None]
-        pad = jnp.stack([(size - nw) / 2.0, (size - nh) / 2.0])
+        pad = jnp.stack([(size_w - nw) / 2.0, (size_h - nh) / 2.0])
         return out / 255.0, r, pad
 
     return jax.vmap(per_image)(images.astype(jnp.float32), hw)

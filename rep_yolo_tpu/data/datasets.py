@@ -166,6 +166,21 @@ class DetectionDataset:
     def __len__(self) -> int:
         return len(self.img_files)
 
+    def image_shapes(self) -> np.ndarray:
+        """(n, 2) original (h, w) per image — header-only reads (PIL),
+        memoized; the rect-eval batcher sorts by these (the reference
+        caches shapes in its label .cache, utils/datasets.py:489)."""
+        if getattr(self, "_shapes", None) is None:
+            from PIL import Image
+
+            shapes = []
+            for f in self.img_files:
+                with Image.open(f) as im:
+                    w, h = im.size
+                shapes.append((h, w))
+            self._shapes = np.asarray(shapes, np.float32)
+        return self._shapes
+
     def load_item(self, i: int):
         """-> (img (S,S,3) uint8 padded, hw (2,), labels (M,5), mask (M,),
         orig_shape (2,)). Resize keeps aspect (longest side = S), content at

@@ -35,10 +35,39 @@ class EvalResult:
     fitness: float
 
 
-def make_eval_step(model, variables, img_size: int, conf_thres: float = 0.001,
+def _rect_plan(ds: DetectionDataset, batch_size: int, img_size: int,
+               stride: int = 64, pad: float = 0.5):
+    """Aspect-bucketed rect-eval batching (reference utils/datasets.py:
+    424-446 + test.py:91 rect=True pad=0.5), TPU-adapted: images sorted
+    by aspect ratio, each batch letterboxed to the smallest
+    stride-multiple (h, w) canvas covering its aspect extremes. Shapes
+    are quantized to `stride` (default 64, coarser than the reference's
+    32) and capped at img_size so the static-shape bucket count — one
+    XLA program each — stays small; the extra quantization only adds
+    padding, never rescales content. Returns (order, per-batch shapes).
+    """
+    ars = np.asarray([l_hw[0] / l_hw[1] for l_hw in ds.image_shapes()])
+    order = np.argsort(ars, kind="stable")
+    nb = -(-len(order) // batch_size)
+    shapes = []
+    for b in range(nb):
+        ari = ars[order[b * batch_size:(b + 1) * batch_size]]
+        mini, maxi = ari.min(), ari.max()
+        sh, sw = 1.0, 1.0
+        if maxi < 1:          # all wide: shrink height
+            sh = maxi
+        elif mini > 1:        # all tall: shrink width
+            sw = 1 / mini
+        bh = int(np.ceil(sh * img_size / stride + pad) * stride)
+        bw = int(np.ceil(sw * img_size / stride + pad) * stride)
+        shapes.append((min(bh, img_size), min(bw, img_size)))
+    return order, shapes
+
+
+def make_eval_step(model, variables, img_size, conf_thres: float = 0.001,
                    iou_thres: float = 0.65, max_nms: int = 8192):
     """Jitted: raw uint8 padded batch -> fixed-shape detections in
-    letterboxed pixel coords."""
+    letterboxed pixel coords. `img_size`: int (square) or (h, w)."""
 
     @jax.jit
     def step(images, hw):
@@ -55,12 +84,21 @@ def make_eval_step(model, variables, img_size: int, conf_thres: float = 0.001,
 def evaluate(model, variables, ds: DetectionDataset, batch_size: int = 8,
              img_size: int = 640, conf_thres: float = 0.001,
              iou_thres: float = 0.65, verbose: bool = False,
-             save_json: str | None = None) -> EvalResult:
+             save_json: str | None = None, rect: bool = False,
+             rect_stride: int = 64) -> EvalResult:
     """`save_json` writes COCO-format detections ([x,y,w,h] boxes, image id
     from the file stem) for pycocotools cross-checking (the reference's
-    --save-json path, test.py:152-275)."""
+    --save-json path, test.py:152-275). `rect=True` evaluates with
+    aspect-bucketed rectangular batches (reference test.py:91) — one
+    compiled program per distinct bucket shape."""
     loader = Loader(ds, batch_size, shuffle=False, drop_last=False)
-    step = make_eval_step(model, variables, img_size, conf_thres, iou_thres)
+    steps: dict = {}
+
+    def get_step(shape):
+        if shape not in steps:
+            steps[shape] = make_eval_step(model, variables, shape,
+                                          conf_thres, iou_thres)
+        return steps[shape]
 
     iouv = np.linspace(0.5, 0.95, 10)
     stats = []
@@ -79,7 +117,8 @@ def evaluate(model, variables, ds: DetectionDataset, batch_size: int = 8,
         t_inf += time.perf_counter() - t0
         ratio = np.asarray(ratio)
         pad = np.asarray(pad)
-        for i, d in enumerate(dets):
+        n_valid = batch.get("n_valid", len(dets))
+        for i, d in enumerate(dets[:n_valid]):
             # scale detections back to original frame
             r = ratio[i]
             pw, ph = pad[i]
@@ -121,16 +160,40 @@ def evaluate(model, variables, ds: DetectionDataset, batch_size: int = 8,
                         "score": round(float(score), 5),
                     })
 
+    if rect:
+        # aspect-bucketed rect batches (tail batch padded by repeating
+        # the last item; padded rows masked out of the stats)
+        order, bshapes = _rect_plan(ds, batch_size, img_size, rect_stride)
+
+        def batches():
+            for b, shape in enumerate(bshapes):
+                sel = order[b * batch_size:(b + 1) * batch_size]
+                n_valid = len(sel)
+                sel = np.concatenate(
+                    [sel, np.repeat(sel[-1:], batch_size - n_valid)])
+                items = [ds.load_item(i) for i in sel]
+                yield dict(
+                    images=np.stack([it[0] for it in items]),
+                    hw=np.stack([it[1] for it in items]),
+                    labels=np.stack([it[2] for it in items]),
+                    mask=np.stack([it[3] for it in items]),
+                    orig_shapes=np.stack([it[4] for it in items]),
+                    indices=sel, n_valid=n_valid, shape=shape)
+    else:
+        def batches():
+            yield from loader.epoch(0)
+
     # pipelined loop: dispatch batch k+1 (async), then host-match batch k
     # while the device runs — the overlap the reference gets from CUDA
     # stream asynchrony (VERDICT r1: serial host post-processing)
     pending = None
-    for batch in loader.epoch(0):
+    for batch in batches():
+        step = get_step(batch.get("shape", img_size))
         t0 = time.perf_counter()
         det, ratio, pad = step(jnp.asarray(batch["images"]),
                                jnp.asarray(batch["hw"]))
         t_inf += time.perf_counter() - t0
-        n_img += batch["images"].shape[0]
+        n_img += batch.get("n_valid", batch["images"].shape[0])
         if pending is not None:
             process(*pending)
         pending = (det, ratio, pad, batch)

@@ -239,6 +239,36 @@ def test_eval_save_json(tmp_path):
         assert len(d["bbox"]) == 4
 
 
+def test_rect_eval(tmp_path):
+    """rect=True evaluates with aspect-bucketed rectangular batches
+    (reference test.py:91): the plan is a permutation with stride-
+    multiple shapes <= img_size, and the eval runs through every image
+    including the padded tail batch."""
+    import jax
+
+    from rep_yolo_tpu.data.datasets import make_synthetic_dataset
+    from rep_yolo_tpu.models.model import RepYOLO
+    from rep_yolo_tpu.train.evaluate import _rect_plan, evaluate
+
+    ds = make_synthetic_dataset(7, 64, 1, 8, seed=3,
+                                root=tmp_path / "synth")
+    order, shapes = _rect_plan(ds, 2, 64, stride=32)
+    assert sorted(order) == list(range(7))
+    assert len(shapes) == 4          # ceil(7/2) incl. padded tail
+    ars = ds.image_shapes()[:, 0] / ds.image_shapes()[:, 1]
+    assert (np.diff(ars[order]) >= 0).all()   # aspect-sorted
+    for bh, bw in shapes:
+        assert bh % 32 == 0 and bw % 32 == 0
+        assert bh <= 64 and bw <= 64
+        assert bh == 64 or bw == 64           # long side pinned
+
+    model = RepYOLO.from_config(CFG)
+    variables = model.init(jax.random.PRNGKey(0), img_size=64)
+    res = evaluate(model, variables, ds, batch_size=2, img_size=64,
+                   rect=True, rect_stride=32)
+    assert np.isfinite([res.mp, res.mr, res.map50, res.map]).all()
+
+
 def test_checkpoint_resume_roundtrip(tmp_path):
     from rep_yolo_tpu.models.model import RepYOLO
     from rep_yolo_tpu.train.checkpoint import (load_checkpoint,
