@@ -36,7 +36,10 @@ def _flatten(tree, prefix=""):
 def save_checkpoint(path: str | Path, state, meta: dict | None = None):
     """Save a TrainState (or any pytree) + metadata. Uses orbax when
     available, .npz otherwise (both pure-data formats)."""
-    path = Path(path)
+    # resolve(): orbax's tensorstore writer requires absolute paths (it
+    # raises from a background thread on relative ones, after which the
+    # synchronous save returns "successfully" having written nothing)
+    path = Path(path).resolve()
     path.parent.mkdir(parents=True, exist_ok=True)
     try:
         import orbax.checkpoint as ocp
@@ -52,7 +55,7 @@ def save_checkpoint(path: str | Path, state, meta: dict | None = None):
 
 def load_checkpoint(path: str | Path, target):
     """Load into the structure of `target` (a template pytree)."""
-    path = Path(path)
+    path = Path(path).resolve()
     orbax_dir = Path(str(path.with_suffix("")) + ".orbax")
     if orbax_dir.exists():
         import orbax.checkpoint as ocp
