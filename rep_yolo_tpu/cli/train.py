@@ -63,7 +63,15 @@ def parse_args(argv=None):
                         "partitioner (the DDP/SyncBN analog, reference "
                         "train.py:249-292,610-612)")
     p.add_argument("--native-loader", action="store_true",
-                   help="use the C++ decode/prefetch loader")
+                   help="force the C++ decode/prefetch loader (default: "
+                        "auto — used when it builds and the run is "
+                        "single-process without --image-weights)")
+    p.add_argument("--no-native-loader", action="store_true",
+                   help="force the Python loader")
+    p.add_argument("--cache-images", default=None, choices=["ram", "disk"],
+                   help="pre-decode images (reference --cache-images): "
+                        "'ram' holds resized canvases in memory, 'disk' "
+                        "writes decode-free .npy siblings")
     p.add_argument("--workers", type=int, default=0,
                    help="native loader threads (0 = auto)")
     p.add_argument("--bf16", action="store_true",
@@ -141,6 +149,8 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
     val_ds = (DetectionDataset.from_path(args.val_data, args.img_size,
                                          args.nc, args.max_labels)
               if args.val_data else ds)
+    if args.cache_images:
+        ds.cache_images(args.cache_images)
     # device mesh (DP): single-device is the 1-element degenerate mesh.
     # Multi-host: each process loads its shard of the global batch
     # (Loader shard_index/num_shards replaces DistributedSampler,
@@ -163,12 +173,21 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
 
     n_proc = jax.process_count()
     local_bs = args.batch_size // n_proc
-    if args.native_loader:
+    # loader: the C++ decode/prefetch loader by default when it builds
+    # (it has no shard/image-weight support yet — those fall back)
+    use_native = (not args.no_native_loader and n_proc == 1
+                  and not args.image_weights and not args.cache_images)
+    if use_native and not args.native_loader:
+        from rep_yolo_tpu.data import native_loader as _nl
+
+        use_native = _nl.available()
+    if use_native:
         from rep_yolo_tpu.data.native_loader import NativeLoader
 
         loader = NativeLoader(ds, local_bs, shuffle=True,
                               seed=args.seed,
                               n_threads=args.workers or None)
+        print("loader: native (C++ decode/prefetch)")
     else:
         loader = Loader(ds, local_bs, shuffle=True, seed=args.seed,
                         shard_index=jax.process_index(), num_shards=n_proc)
@@ -293,7 +312,7 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
         t0 = time.time()
         mloss = np.zeros(4)
         count = 0
-        if args.image_weights and not args.native_loader:
+        if args.image_weights and not use_native:
             # class error weights -> per-image weights (reference :326-330)
             cw = class_w * (1 - maps) ** 2 / model.cfg.nc
             iw = labels_to_image_weights(ds.labels, model.cfg.nc, cw)

@@ -181,11 +181,41 @@ class DetectionDataset:
             self._shapes = np.asarray(shapes, np.float32)
         return self._shapes
 
-    def load_item(self, i: int):
-        """-> (img (S,S,3) uint8 padded, hw (2,), labels (M,5), mask (M,),
-        orig_shape (2,)). Resize keeps aspect (longest side = S), content at
-        top-left, pad 114 (mosaic-style load_image,
-        reference utils/datasets.py:660-680)."""
+    def cache_images(self, mode: str = "ram", workers: int = 8) -> None:
+        """Pre-decode every image (reference --cache-images,
+        utils/datasets.py:448-468). `ram`: resized canvases held in
+        memory (S*S*3 bytes each). `disk`: canvases written once as
+        sibling .npy files (decode-free np.load afterwards; survives
+        across runs)."""
+        assert mode in ("ram", "disk"), mode
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._cache_mode = mode
+        if mode == "ram":
+            self._ram: dict = {}
+            with ThreadPoolExecutor(workers) as ex:
+                for i, item in enumerate(ex.map(self._decode_canvas,
+                                                range(len(self)))):
+                    self._ram[i] = item
+        else:
+            def write(i):
+                p = self._npy_path(i)
+                if not p.exists():
+                    canvas, hw, orig = self._decode_canvas(i)
+                    np.save(p, canvas)
+                    np.save(str(p)[:-4] + ".hw.npy",
+                            np.concatenate([hw, orig]))
+            with ThreadPoolExecutor(workers) as ex:
+                list(ex.map(write, range(len(self))))
+
+    def _npy_path(self, i: int) -> Path:
+        return Path(self.img_files[i]).with_suffix(
+            f".r{self.img_size}.npy")
+
+    def _decode_canvas(self, i: int):
+        """-> (canvas (S,S,3) uint8, hw (2,), orig (2,)): aspect-kept
+        resize (longest side = S), content top-left, pad 114
+        (mosaic-style load_image, reference utils/datasets.py:660-680)."""
         import cv2
 
         S = self.img_size
@@ -201,6 +231,22 @@ class DetectionDataset:
         h, w = img.shape[:2]
         canvas = np.full((S, S, 3), 114, np.uint8)
         canvas[:h, :w] = img
+        return canvas, np.asarray([h, w], np.float32), \
+            np.asarray([h0, w0], np.float32)
+
+    def load_item(self, i: int):
+        """-> (img (S,S,3) uint8 padded, hw (2,), labels (M,5), mask (M,),
+        orig_shape (2,))."""
+        mode = getattr(self, "_cache_mode", None)
+        if mode == "ram":
+            canvas, hw, orig = self._ram[i]
+        elif mode == "disk":
+            p = self._npy_path(i)
+            canvas = np.load(p)
+            hworig = np.load(str(p)[:-4] + ".hw.npy")
+            hw, orig = hworig[:2], hworig[2:]
+        else:
+            canvas, hw, orig = self._decode_canvas(i)
 
         M = self.max_labels
         lab = np.zeros((M, 5), np.float32)
@@ -208,8 +254,7 @@ class DetectionDataset:
         l = self.labels[i][:M]
         lab[: len(l)] = l
         mask[: len(l)] = True
-        return canvas, np.asarray([h, w], np.float32), lab, mask, \
-            np.asarray([h0, w0], np.float32)
+        return canvas, hw, lab, mask, orig
 
 
 def make_synthetic_dataset(n: int, img_size: int = 640, nc: int = 1,

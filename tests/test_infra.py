@@ -319,6 +319,27 @@ def test_label_cache_roundtrip(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_image_cache_modes(tmp_path):
+    """--cache-images ram/disk return byte-identical items to the
+    uncached decode path (reference utils/datasets.py:448-468)."""
+    from rep_yolo_tpu.data.datasets import make_synthetic_dataset
+
+    ds = make_synthetic_dataset(5, 64, 1, 8, seed=4, root=tmp_path / "s")
+    ref = [ds.load_item(i) for i in range(5)]
+
+    ds.cache_images("ram")
+    for i in range(5):
+        for a, b in zip(ds.load_item(i), ref[i]):
+            np.testing.assert_array_equal(a, b)
+
+    ds._cache_mode = None
+    ds.cache_images("disk")
+    assert ds._npy_path(0).exists()
+    for i in range(5):
+        for a, b in zip(ds.load_item(i), ref[i]):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_torch_state_roundtrip():
     """export_torch_state inverts import_torch_state (key mapping +
     transposes) on the tiny graph."""
