@@ -55,6 +55,12 @@ def parse_args(argv=None):
     p.add_argument("--resume", default=None)
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() before device "
+                        "discovery (multi-process/multi-slice launch; "
+                        "coordinator/process env comes from the TPU "
+                        "runtime — the WORLD_SIZE/RANK analog of "
+                        "reference train.py:578-579,610)")
     p.add_argument("--devices", type=int, default=0,
                    help="data-parallel over this many devices (0 = all "
                         "visible). The batch is sharded over the mesh "
@@ -113,6 +119,10 @@ def main(argv=None):
 
 
 def _run_training(args, hyp_override=None, name="exp", return_dir=False):
+    if args.multihost and jax.process_count() == 1:
+        # idempotent-ish guard: initialize() raises if already called or
+        # if the env carries no coordinator config
+        jax.distributed.initialize()
     from rep_yolo_tpu.data.augment import AugmentConfig, augment_batch
     from rep_yolo_tpu.data.datasets import (DetectionDataset, Loader,
                                             make_synthetic_dataset)
@@ -151,6 +161,8 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
               if args.val_data else ds)
     if args.cache_images:
         ds.cache_images(args.cache_images)
+        if val_ds is not ds:
+            val_ds.cache_images(args.cache_images)
     # device mesh (DP): single-device is the 1-element degenerate mesh.
     # Multi-host: each process loads its shard of the global batch
     # (Loader shard_index/num_shards replaces DistributedSampler,
