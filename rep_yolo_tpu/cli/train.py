@@ -289,7 +289,10 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
                 shard, np.asarray(x))
     else:
         def put_batch(x):
-            return jax.device_put(jnp.asarray(x), shard)
+            # numpy -> sharded put directly (jnp.asarray first would
+            # eagerly land the array on the default device and transfer
+            # a second time on the reshard)
+            return jax.device_put(np.asarray(x), shard)
 
     start_epoch = 0
     if args.resume:
@@ -331,19 +334,41 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
             batches = loader.epoch(epoch, image_weights=iw)
         else:
             batches = loader.epoch(epoch)
-        for batch in batches:
+        def prepare(ib):
+            i, batch = ib
             inputs = (put_batch(batch["images"]), put_batch(batch["hw"]),
                       put_batch(batch["labels"]), put_batch(batch["mask"]))
             if use_accum:
                 # warmup ramp 1 -> accum_final (reference train.py:357)
-                ni = epoch * nb + count
-                tgt = trainer_lib.accum_target_for(ni, opt_cfg.nw,
-                                                   accum_final)
-                inputs += (jax.device_put(jnp.int32(tgt), repl),)
+                tgt = trainer_lib.accum_target_for(epoch * nb + i,
+                                                   opt_cfg.nw, accum_final)
+                inputs += (jax.device_put(np.int32(tgt), repl),)
+            return inputs
+
+        # one-slot H2D prefetch: upload batch k+1 while the device runs
+        # step k (the reference gets this overlap from CUDA streams +
+        # DataLoader workers; here a thread hides the host->device copy)
+        import queue as _queue
+        import threading as _threading
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=2)
+
+        def _feed():
+            for ib in enumerate(batches):
+                q.put(prepare(ib))
+            q.put(None)
+
+        _t = _threading.Thread(target=_feed, daemon=True)
+        _t.start()
+        while (inputs := q.get()) is not None:
             state, comps = step_fn(state, *inputs)
-            mloss += np.asarray([float(comps[k]) for k in
+            # one blocking transfer for all four components (separate
+            # float() calls each pay a device round trip)
+            vals = jax.device_get(comps)
+            mloss += np.asarray([vals[k] for k in
                                  ("box", "obj", "cls", "total")])
             count += 1
+        _t.join()
         mloss /= max(count, 1)
         line = (f"epoch {epoch}/{args.epochs - 1} "
                 f"box {mloss[0]:.4f} obj {mloss[1]:.4f} cls {mloss[2]:.4f} "

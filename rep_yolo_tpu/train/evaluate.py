@@ -190,8 +190,10 @@ def evaluate(model, variables, ds: DetectionDataset, batch_size: int = 8,
     for batch in batches():
         step = get_step(batch.get("shape", img_size))
         t0 = time.perf_counter()
-        det, ratio, pad = step(jnp.asarray(batch["images"]),
-                               jnp.asarray(batch["hw"]))
+        # hand numpy straight to jit (jnp.asarray would eagerly place on
+        # the default device first — a second transfer on remote devices)
+        det, ratio, pad = step(np.asarray(batch["images"]),
+                               np.asarray(batch["hw"]))
         t_inf += time.perf_counter() - t0
         n_img += batch.get("n_valid", batch["images"].shape[0])
         if pending is not None:
