@@ -92,6 +92,12 @@ def evaluate(model, variables, ds: DetectionDataset, batch_size: int = 8,
     aspect-bucketed rectangular batches (reference test.py:91) — one
     compiled program per distinct bucket shape."""
     loader = Loader(ds, batch_size, shuffle=False, drop_last=False)
+    # device-put the weights once: numpy leaves would otherwise be baked
+    # into every compiled program as constants (one full-weight upload
+    # and constant-fold per rect bucket)
+    variables = jax.tree.map(
+        lambda x: x if isinstance(x, jax.Array) else jnp.asarray(x),
+        variables)
     steps: dict = {}
 
     def get_step(shape):
