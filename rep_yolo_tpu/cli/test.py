@@ -52,12 +52,25 @@ def main(argv=None):
     if args.task == "speed":   # reference test.py:335-337
         args.conf_thres, args.iou_thres = 0.25, 0.45
 
+    # dataset YAML (reference data/*.yaml): resolves nc/names/split
+    # paths BEFORE the model is built (nc shapes the head)
+    names = None
+    data_path = args.data
+    if data_path.endswith((".yaml", ".yml")):
+        from rep_yolo_tpu.data.datasets import load_dataset_spec
+
+        spec = load_dataset_spec(data_path)
+        args.nc = spec["nc"]
+        names = spec["names"] or None
+        data_path = (spec["test"] if args.task == "test" and spec["test"]
+                     else spec["val"])
+
     model, variables = load_model_and_vars(args)
 
     if args.task == "study":   # resolution sweep (reference test.py:339-352)
         rows = []
         for sz in range(256, 1536 + 128, 128):
-            ds = DetectionDataset.from_path(args.data, sz, args.nc)
+            ds = DetectionDataset.from_path(data_path, sz, args.nc)
             res = evaluate(model, variables, ds,
                            batch_size=args.batch_size, img_size=sz,
                            conf_thres=args.conf_thres,
@@ -72,7 +85,7 @@ def main(argv=None):
         print(f"saved {out_file}")
         return rows
 
-    ds = DetectionDataset.from_path(args.data, args.img_size, args.nc)
+    ds = DetectionDataset.from_path(data_path, args.img_size, args.nc)
     res = evaluate(model, variables, ds, batch_size=args.batch_size,
                    img_size=args.img_size, conf_thres=args.conf_thres,
                    iou_thres=args.iou_thres, save_json=args.save_json,
@@ -82,9 +95,10 @@ def main(argv=None):
                ms_per_img_infer=res.speed_ms[0],
                ms_per_img_total=res.speed_ms[1])
     if args.verbose and res.per_class:
-        print(f"{'class':>8} {'P':>8} {'R':>8} {'AP50':>8} {'AP':>8}")
+        print(f"{'class':>12} {'P':>8} {'R':>8} {'AP50':>8} {'AP':>8}")
         for c, d in sorted(res.per_class.items()):
-            print(f"{c:>8} {d['p']:8.3f} {d['r']:8.3f} "
+            label = names[c] if names and 0 <= c < len(names) else str(c)
+            print(f"{label:>12} {d['p']:8.3f} {d['r']:8.3f} "
                   f"{d['ap50']:8.3f} {d['ap']:8.3f}")
     if args.save_json and args.coco_gt:
         from rep_yolo_tpu.train.evaluate import coco_eval

@@ -147,8 +147,19 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
         out_dir.mkdir(parents=True, exist_ok=True)
     (out_dir / "opt.json").write_text(json.dumps(vars(args), indent=2))
 
-    # data
-    if args.data.startswith("synthetic"):
+    # data: a YOLO-layout dir, 'synthetic[:N]', or a reference-style
+    # dataset YAML (train/val paths + nc + names, data/*.yaml)
+    val_path = args.val_data
+    if args.data.endswith((".yaml", ".yml")):
+        from rep_yolo_tpu.data.datasets import load_dataset_spec
+
+        spec = load_dataset_spec(args.data)
+        args.nc = spec["nc"]
+        if val_path is None and spec["val"]:
+            val_path = spec["val"]
+        ds = DetectionDataset.from_path(spec["train"], args.img_size,
+                                        args.nc, args.max_labels)
+    elif args.data.startswith("synthetic"):
         n = int(args.data.split(":")[1]) if ":" in args.data else 64
         ds = make_synthetic_dataset(n, args.img_size, args.nc,
                                     args.max_labels, seed=args.seed,
@@ -156,9 +167,9 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
     else:
         ds = DetectionDataset.from_path(args.data, args.img_size, args.nc,
                                         args.max_labels)
-    val_ds = (DetectionDataset.from_path(args.val_data, args.img_size,
+    val_ds = (DetectionDataset.from_path(val_path, args.img_size,
                                          args.nc, args.max_labels)
-              if args.val_data else ds)
+              if val_path else ds)
     if args.cache_images:
         ds.cache_images(args.cache_images)
         if val_ds is not ds:

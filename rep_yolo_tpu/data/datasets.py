@@ -26,6 +26,39 @@ import numpy as np
 IMG_FORMATS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
 
 
+def load_dataset_spec(path: str | Path) -> dict:
+    """Parse a reference-style dataset YAML (train/val/test paths, nc,
+    names, optional download command — reference
+    data/Rep-YOLO_MPdataset.yaml, utils/general.py check_dataset):
+    returns {train, val, test, nc, names, download}. Relative paths
+    resolve against the YAML's directory. The download command is
+    returned, never executed."""
+    import yaml
+
+    path = Path(path)
+    with open(path) as f:
+        spec = yaml.safe_load(f)
+    out = {"nc": int(spec.get("nc", 1)),
+           "names": [str(n) for n in spec.get("names", [])],
+           "download": spec.get("download")}
+    if out["names"] and len(out["names"]) != out["nc"]:
+        raise ValueError(
+            f"{path}: {len(out['names'])} names but nc={out['nc']} "
+            "(reference train.py:85 asserts this)")
+    for split in ("train", "val", "test"):
+        v = spec.get(split)
+        if v is None:
+            out[split] = None
+            continue
+        items = v if isinstance(v, list) else [v]
+        resolved = []
+        for it in items:
+            p = Path(str(it))
+            resolved.append(str(p if p.is_absolute() else path.parent / p))
+        out[split] = resolved if isinstance(v, list) else resolved[0]
+    return out
+
+
 def _img2label(p: str) -> str:
     """images/... .jpg -> labels/... .txt (reference utils/datasets.py:346-349)."""
     sa = f"{os.sep}images{os.sep}"
@@ -36,9 +69,14 @@ def _img2label(p: str) -> str:
     return stem + ".txt"
 
 
-def discover_images(path: str | Path) -> list[str]:
-    """Expand a dir / txt-list / glob into an image file list
+def discover_images(path: "str | Path | list") -> list[str]:
+    """Expand a dir / txt-list / list-of-either into an image file list
     (reference utils/datasets.py:365-385)."""
+    if isinstance(path, (list, tuple)):
+        out: list[str] = []
+        for p in path:
+            out += discover_images(p)
+        return out
     path = Path(path)
     files: list[str] = []
     if path.is_dir():
@@ -158,7 +196,8 @@ class DetectionDataset:
                   max_labels: int = 120, cache: bool = True
                   ) -> "DetectionDataset":
         files = discover_images(path)
-        cache_path = _cache_path_for(Path(path)) if cache else None
+        first = path[0] if isinstance(path, (list, tuple)) else path
+        cache_path = _cache_path_for(Path(first)) if cache else None
         labels = load_labels_cached(files, nc, cache_path)
         return cls(img_files=files, labels=labels, img_size=img_size,
                    max_labels=max_labels, nc=nc)

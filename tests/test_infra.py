@@ -319,6 +319,40 @@ def test_label_cache_roundtrip(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_dataset_yaml_spec(tmp_path):
+    """Reference-style dataset YAML (train/val/test + nc + names,
+    data/Rep-YOLO_MPdataset.yaml) resolves relative paths, validates
+    names/nc, and feeds DetectionDataset (incl. list-of-dirs)."""
+    import pytest
+
+    from rep_yolo_tpu.data.datasets import (DetectionDataset,
+                                            load_dataset_spec,
+                                            make_synthetic_dataset)
+
+    make_synthetic_dataset(3, 64, 1, 8, seed=0, root=tmp_path / "a")
+    make_synthetic_dataset(2, 64, 1, 8, seed=1, root=tmp_path / "b")
+    yml = tmp_path / "data.yaml"
+    yml.write_text(
+        "train: [a/images, b/images]\n"
+        "val: b/images\n"
+        "nc: 1\n"
+        "names: ['person']\n"
+        "download: bash ./scripts/get_coco.sh\n")
+    spec = load_dataset_spec(yml)
+    assert spec["nc"] == 1 and spec["names"] == ["person"]
+    assert spec["test"] is None
+    assert spec["download"].startswith("bash")
+    ds = DetectionDataset.from_path(spec["train"], 64, 1, 8)
+    assert len(ds) == 5
+    val = DetectionDataset.from_path(spec["val"], 64, 1, 8)
+    assert len(val) == 2
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("train: a/images\nnc: 2\nnames: ['x']\n")
+    with pytest.raises(ValueError):
+        load_dataset_spec(bad)
+
+
 def test_image_cache_modes(tmp_path):
     """--cache-images ram/disk return byte-identical items to the
     uncached decode path (reference utils/datasets.py:448-468)."""
