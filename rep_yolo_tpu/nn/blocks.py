@@ -161,6 +161,21 @@ def set_cmajor_deploy(mode: str | None, scales: dict[str, float] | None = None,
 
 _CMAJOR_SELECT = lambda c1, h, w: c1 <= 64
 
+# Trace-time flag: route thin 3x3/s1 convs through the Pallas wgrad
+# kernel in the backward (ops/pallas/wgrad_kernel.py — XLA runs their
+# weight gradients at ~4 TF/s, see BASELINE.md training table). Same
+# before-first-trace contract as CONV_PRECISION.
+WGRAD_PALLAS = False
+_WGRAD_SELECT = lambda c1, c2: c1 <= 64 and c2 <= 64
+
+
+def set_pallas_wgrad(enable: bool, select=None) -> None:
+    """Enable the Pallas weight-gradient backward for 3x3 stride-1
+    ungrouped convs passing `select(c1, c2)` (default: thin, <=64ch)."""
+    global WGRAD_PALLAS, _WGRAD_SELECT
+    WGRAD_PALLAS = bool(enable)
+    _WGRAD_SELECT = select or (lambda c1, c2: c1 <= 64 and c2 <= 64)
+
 
 class _NestedConvParams(nn.Module):
     """Declares a deploy conv's {kernel, bias} under a nested module-name
@@ -237,6 +252,14 @@ class ConvUnit(nn.Module):
         s_in = quant.scale_for(path, self.k, c1, self.c2, self.g)
         if s_in is not None:
             y = quant.quant_conv(x, kern, s_in, self.s, p)
+        elif (WGRAD_PALLAS and self.k == 3 and self.s == 1 and p == 1
+                and self.g == 1 and _WGRAD_SELECT(c1, self.c2)):
+            from rep_yolo_tpu.ops.pallas.wgrad_kernel import \
+                conv3x3_pallas_wgrad
+
+            dt = jnp.result_type(x, kern)
+            y = conv3x3_pallas_wgrad(x.astype(dt), kern.astype(dt),
+                                     precision=CONV_PRECISION)
         else:
             # same dtype promotion as nn.Conv (dtype=None): inputs and
             # params are promoted to a common dtype before the conv

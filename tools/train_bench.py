@@ -43,8 +43,16 @@ def main():
     p.add_argument("--accum", action="store_true",
                    help="gradient-accumulation step variant (nominal "
                         "batch 64), as cli/train does by default")
+    p.add_argument("--wgrad", action="store_true",
+                   help="Pallas weight-gradient backward for thin 3x3 "
+                        "convs (nn.blocks.set_pallas_wgrad)")
     p.add_argument("--trace", default=None, metavar="DIR")
     args = p.parse_args()
+
+    if args.wgrad:
+        import rep_yolo_tpu.nn.blocks as blocks_lib
+
+        blocks_lib.set_pallas_wgrad(True)
 
     from rep_yolo_tpu.models.model import RepYOLO
     from rep_yolo_tpu.train import optim as optim_lib
