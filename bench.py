@@ -1,21 +1,34 @@
 """Benchmark: fused-deploy batched 640px inference throughput on TPU.
 
 Prints ONE JSON line:
-  {"metric": "images/sec/chip @640px b32 fused inference",
+  {"metric": "images/sec/chip @640px ... fused inference",
    "value": N, "unit": "img/s/chip", "vs_baseline": N}
 
 Baseline: the reference's best published inference number — YOLOv7 TensorRT
 FP16 on RTX 3090 at batch 8 = ~588 img/s (reference
 deploy/triton-inference-server/README.md:29-41; see BASELINE.md).
+
+Hang-proofing (round-2 post-mortem): the axon TPU plugin can either
+*raise* through any backend init (`jax.devices("cpu")` included, since
+JAX_PLATFORMS is pinned to axon by sitecustomize) or *block forever*
+inside make_c_api_client when the tunnel is wedged — BENCH_r02 was rc=1
+with no JSON. So this file is split in two:
+
+- the parent process (default) never imports jax. It probes the TPU in a
+  short-timeout subprocess, runs the real benchmark in another bounded
+  subprocess, and relays its JSON line. On ANY failure — probe timeout,
+  crash, mid-run tunnel drop, missing output — it still prints one JSON
+  line with an explicit "error" field and exits 0.
+- the child (RY_BENCH_INNER=1) runs the actual measurement.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 BASELINE_IMG_S = 588.0  # TRT-FP16 RTX 3090 @ batch 8 (BASELINE.md)
 BATCH = 128   # throughput sweet spot on v5e: the model's thin-channel
@@ -25,8 +38,86 @@ SIZE = 640
 WARMUP = 3
 ITERS = 10
 
+PROBE_TIMEOUT_S = 150     # backend init is normally a few seconds
+BENCH_TIMEOUT_S = 2100    # full run is ~5-10 min incl. compiles
 
-def main():
+METRIC = (f"images/sec/chip @640px b{BATCH} fused inference "
+          f"(incl. NMS); b32 = north-star target config")
+
+
+def _emit(value: float, vs: float, extra: dict | None = None) -> None:
+    rec = {"metric": METRIC, "value": value, "unit": "img/s/chip",
+           "vs_baseline": vs}
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec))
+    sys.stdout.flush()
+
+
+def _emit_error(msg: str) -> None:
+    _emit(0.0, 0.0, {"error": msg})
+
+
+def _probe_backend() -> tuple[bool, str]:
+    """Check the default JAX backend in a throwaway subprocess so a wedged
+    tunnel hangs the child, not us. Returns (ok, platform-or-error)."""
+    code = ("import jax; ds = jax.devices(); "
+            "print('PLATFORM=' + ds[0].platform + ' N=' + str(len(ds)))")
+    try:
+        p = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=PROBE_TIMEOUT_S,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return False, (f"backend probe hung >{PROBE_TIMEOUT_S}s "
+                       "(TPU tunnel wedged: axon make_c_api_client blocks)")
+    if p.returncode != 0:
+        tail = (p.stderr or "").strip().splitlines()[-3:]
+        return False, "backend probe failed: " + " | ".join(tail)
+    out = (p.stdout or "").strip().splitlines()
+    info = out[-1] if out else ""
+    return True, info
+
+
+def main() -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    ok, info = _probe_backend()
+    if not ok:
+        _emit_error(info)
+        return
+    if "PLATFORM=cpu" in info:
+        _emit_error("no TPU backend (default platform is cpu); refusing a "
+                    "640px b128 CPU run — " + info)
+        return
+    env = dict(os.environ, RY_BENCH_INNER="1")
+    t0 = time.time()
+    try:
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, text=True,
+                           timeout=BENCH_TIMEOUT_S, env=env, cwd=here)
+    except subprocess.TimeoutExpired:
+        _emit_error(f"benchmark subprocess exceeded {BENCH_TIMEOUT_S}s "
+                    "(probable mid-run tunnel drop)")
+        return
+    for line in reversed((p.stdout or "").strip().splitlines()):
+        try:
+            rec = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if isinstance(rec, dict) and "metric" in rec:
+            print(line)
+            sys.stdout.flush()
+            return
+    tail = (p.stderr or "").strip().splitlines()[-4:]
+    _emit_error(f"benchmark subprocess rc={p.returncode} after "
+                f"{time.time() - t0:.0f}s with no JSON; stderr: "
+                + " | ".join(tail))
+
+
+def _inner() -> None:
+    import jax
+    import jax.numpy as jnp
+
     import rep_yolo_tpu.nn.blocks as blocks_lib
     from rep_yolo_tpu.models.model import RepYOLO
     from rep_yolo_tpu.ops.nms import non_max_suppression
@@ -116,16 +207,13 @@ def main():
     # north-star target config, BASELINE.json)
     img_s_b128 = measure(BATCH)
     img_s_b32 = measure(32)
-    print(json.dumps({
-        "metric": f"images/sec/chip @640px b{BATCH} fused inference "
-                  f"(incl. NMS); b32 = north-star target config",
-        "value": round(img_s_b128, 1),
-        "unit": "img/s/chip",
-        "vs_baseline": round(img_s_b128 / BASELINE_IMG_S, 3),
-        "b32_img_s": round(img_s_b32, 1),
-        "b32_vs_baseline": round(img_s_b32 / BASELINE_IMG_S, 3),
-    }))
+    _emit(round(img_s_b128, 1), round(img_s_b128 / BASELINE_IMG_S, 3),
+          {"b32_img_s": round(img_s_b32, 1),
+           "b32_vs_baseline": round(img_s_b32 / BASELINE_IMG_S, 3)})
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("RY_BENCH_INNER") == "1":
+        _inner()
+    else:
+        main()

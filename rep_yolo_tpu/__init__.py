@@ -1,16 +1,29 @@
-"""rep_yolo_tpu — a TPU-native (JAX/XLA/Pallas/pjit) object-detection framework.
+"""rep-yolo-tpu: TPU-native (JAX/XLA/Pallas/pjit) Rep-YOLO framework.
 
-A from-scratch rebuild of the capabilities of the Rep-YOLO reference
-(a YOLOv7-lineage single-stage anchor-based detector with reparameterizable
-convolution blocks), designed TPU-first:
-
-- NHWC layout, bf16 compute / fp32 params, static shapes everywhere.
-- Functional core: params are pytrees, the model is a pure ``apply`` fn.
-- Reparameterization ("fuse") is a pure ``train_params -> deploy_params``
-  pytree transform, property-tested against the multi-branch forward.
-- Postprocessing (anchor decode + class-aware batched NMS) stays on device.
-- Scaling via ``jax.sharding.Mesh`` + jit sharding annotations (data
-  parallel with implicitly-global BatchNorm statistics), not NCCL calls.
+Import-time platform guard: this box's axon boot hook pins
+``jax.config.jax_platforms`` to the TPU plugin *by config update*, which
+silently overrides a user's ``JAX_PLATFORMS=cpu`` environment prefix —
+and the plugin's backend init can block forever when its tunnel is down.
+Re-assert the environment variable (the user's explicit intent) so
+``JAX_PLATFORMS=cpu python -m rep_yolo_tpu.cli.train ...`` is
+deterministic. No-op when env and config already agree or when a
+backend already exists.
 """
 
-__version__ = "0.1.0"
+import os as _os
+
+
+def _honor_platform_env() -> None:
+    plat = _os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    try:
+        import jax as _jax
+
+        if _jax.config.jax_platforms != plat:
+            _jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass  # backends already initialized, or jax absent: leave as-is
+
+
+_honor_platform_env()
