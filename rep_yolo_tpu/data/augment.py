@@ -660,6 +660,27 @@ def augment_batch(images: jax.Array, hw: jax.Array, labels: jax.Array,
     return Batch(images=img, labels=out_labels, mask=out_mask)
 
 
+def identity_batch(images: jax.Array, hw: jax.Array, labels: jax.Array):
+    """No-augmentation normalization — what `augment_batch` does minus the
+    randomness, so the train step sees ONE input contract either way
+    (reference train.py:351 `imgs/255` + the letterboxed collate,
+    utils/datasets.py:562-568).
+
+    The loader's canvases are uint8 0-255 with the aspect-kept content at
+    the top-left occupying (h, w) of the (H, W) canvas, and labels are
+    xywh normalized to the *content*. Returns (images 0-1 float, labels
+    normalized to the *canvas*).
+    """
+    img = images.astype(jnp.float32) / 255.0
+    H, W = images.shape[1], images.shape[2]
+    sy = (hw[:, 0] / H)[:, None]
+    sx = (hw[:, 1] / W)[:, None]
+    labels = jnp.stack([labels[..., 0],
+                        labels[..., 1] * sx, labels[..., 2] * sy,
+                        labels[..., 3] * sx, labels[..., 4] * sy], axis=-1)
+    return img, labels
+
+
 def letterbox_batch(images: jax.Array, hw: jax.Array,
                     size: "int | tuple[int, int]", scaleup: bool = False):
     """Eval-path letterbox: resize content to fit `size`, center, pad 114

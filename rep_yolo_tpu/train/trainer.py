@@ -46,6 +46,14 @@ class TrainState(NamedTuple):
 
 def create_train_state(variables: dict, rng: jax.Array,
                        accumulate: bool = False) -> TrainState:
+    """`accumulate` is accepted for API stability but the acc fields are
+    ALWAYS materialized (zeros + int32 counter): a flag-dependent pytree
+    structure breaks --resume across the accumulation boundary (a
+    checkpoint saved with accumulation on could not restore into a
+    --no-accumulate template and vice versa). The non-accumulating step
+    passes them through untouched, and with donation XLA aliases them —
+    no copy, just one params-sized zeros tree in the state."""
+    del accumulate
     return TrainState(
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),
@@ -53,9 +61,8 @@ def create_train_state(variables: dict, rng: jax.Array,
         ema=init_ema({"params": variables["params"],
                       "batch_stats": variables.get("batch_stats", {})}),
         rng=rng,
-        acc=(jax.tree.map(jnp.zeros_like, variables["params"])
-             if accumulate else {}),
-        acc_n=jnp.zeros((), jnp.int32) if accumulate else 0,
+        acc=jax.tree.map(jnp.zeros_like, variables["params"]),
+        acc_n=jnp.zeros((), jnp.int32),
     )
 
 
@@ -69,6 +76,10 @@ def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
 
     model: RepYOLO; augment_fn: optional on-device augmentation
     (images, hw, labels, mask, key) -> Batch applied inside the step.
+    The input contract is the loader's in BOTH cases: images are 0-255
+    canvases (content top-left at hw), labels xywh normalized to the
+    content; without augment_fn an identity normalization (/255 + label
+    rescale to canvas coords) runs instead (reference train.py:351).
     loss_mode: 'ota' | 'classic' | 'aux_ota' (overrides use_ota).
     resize_to: multi-scale bucket — after augmentation the batch is
     resized on device to this square size (labels are normalized, so
@@ -128,6 +139,13 @@ def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
         if augment_fn is not None:
             batch = augment_fn(images, hw, labels, mask, k_aug)
             images, labels, mask = batch.images, batch.labels, batch.mask
+        else:
+            # same input contract as the augment path: 0-255 canvases with
+            # content-normalized labels in, 0-1 images with
+            # canvas-normalized labels out (reference train.py:351)
+            from rep_yolo_tpu.data.augment import identity_batch
+
+            images, labels = identity_batch(images, hw, labels)
         if resize_to is not None and resize_to != images.shape[1]:
             b = images.shape[0]
             images = jax.image.resize(

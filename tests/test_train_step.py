@@ -36,7 +36,7 @@ def setup():
 
 def _batch(n):
     rng = np.random.default_rng(0)
-    images = rng.uniform(0, 1, (n, SIZE, SIZE, 3)).astype(np.float32)
+    images = rng.uniform(0, 255, (n, SIZE, SIZE, 3)).astype(np.float32)
     hw = np.full((n, 2), SIZE, np.float32)
     labels = np.zeros((n, M, 5), np.float32)
     labels[:, 0] = [0.0, 0.5, 0.5, 0.3, 0.3]
@@ -87,6 +87,52 @@ def test_loss_decreases_overfit(setup):
         losses.append(float(comps["total"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], f"no learning: {losses}"
+
+
+def test_no_augment_normalizes_like_loader_contract(setup):
+    """--no-augment regression (round-2 verdict weak #2): uint8 0-255
+    canvases with content (h,w) < S and content-normalized labels must be
+    /255'd and label-rescaled inside the step (reference train.py:351 +
+    letterboxed collate). The loss must equal a manually pre-normalized
+    batch fed through the same step with full-canvas hw."""
+    from rep_yolo_tpu.data.augment import identity_batch
+
+    model, variables, step = setup
+    rng = np.random.default_rng(3)
+    n = 2
+    h, w = int(SIZE * 0.75), int(SIZE * 0.5)
+    images = np.full((n, SIZE, SIZE, 3), 114, np.uint8)
+    images[:, :h, :w] = rng.integers(0, 255, (n, h, w, 3), dtype=np.uint8)
+    hw = np.tile(np.asarray([h, w], np.float32), (n, 1))
+    labels = np.zeros((n, M, 5), np.float32)
+    labels[:, 0] = [0.0, 0.5, 0.5, 0.4, 0.4]   # normalized to CONTENT
+    mask = np.zeros((n, M), bool)
+    mask[:, 0] = True
+
+    # geometry: identity_batch maps content-normalized -> canvas-normalized
+    img_n, lab_n = jax.jit(identity_batch)(
+        jnp.asarray(images), jnp.asarray(hw), jnp.asarray(labels))
+    assert float(img_n.max()) <= 1.0 and float(img_n.min()) >= 0.0
+    np.testing.assert_allclose(
+        np.asarray(lab_n[0, 0]),
+        [0.0, 0.5 * w / SIZE, 0.5 * h / SIZE, 0.4 * w / SIZE,
+         0.4 * h / SIZE], rtol=1e-6)
+
+    # end-to-end: raw batch through the no-augment step == manually
+    # normalized batch (canvas labels, full-canvas hw) through the same step
+    state = create_train_state(variables, jax.random.PRNGKey(1))
+    jitted = jax.jit(step)
+    _, comps_raw = jitted(state, jnp.asarray(images, jnp.float32),
+                          jnp.asarray(hw), jnp.asarray(labels),
+                          jnp.asarray(mask))
+    manual_imgs = np.asarray(img_n) * 255.0   # step re-divides by 255
+    manual_hw = np.full((n, 2), SIZE, np.float32)
+    _, comps_manual = jitted(state, jnp.asarray(manual_imgs),
+                             jnp.asarray(manual_hw), jnp.asarray(lab_n),
+                             jnp.asarray(mask))
+    np.testing.assert_allclose(float(comps_raw["total"]),
+                               float(comps_manual["total"]), rtol=1e-5)
+    assert np.isfinite(float(comps_raw["total"]))
 
 
 def test_augment_batch_shapes_and_ranges():
@@ -208,7 +254,8 @@ def test_p6_aux_ota_train_step():
                                    loss_mode="aux_ota"))
     state = create_train_state(variables, jax.random.PRNGKey(1))
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.uniform(0, 1, (2, size, size, 3)), jnp.float32)
+    images = jnp.asarray(rng.uniform(0, 255, (2, size, size, 3)),
+                         jnp.float32)
     hw = jnp.full((2, 2), size, jnp.float32)
     labels = jnp.zeros((2, M, 5)).at[:, 0].set(
         jnp.asarray([0.0, 0.5, 0.5, 0.3, 0.3]))

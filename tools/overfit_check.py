@@ -31,10 +31,10 @@ step = jax.jit(make_train_step(model, loss_cfg, opt_cfg, S, use_ota=True),
 state = create_train_state(variables, jax.random.PRNGKey(1))
 
 rng = np.random.default_rng(0)
-imgs = np.full((BSZ, S, S, 3), 0.3, np.float32)
+imgs = np.full((BSZ, S, S, 3), 0.3 * 255, np.float32)  # 0-255 loader contract
 # draw a bright box at (0.7, 0.4) size (0.3, 0.4) -> pixels x 35..55, y 13..38
 for b in range(BSZ):
-    imgs[b, 13:38, 35:55] = 1.0
+    imgs[b, 13:38, 35:55] = 255.0
 labels = np.zeros((BSZ, M, 5), np.float32)
 labels[:, 0] = [0, 0.7, 0.4, 0.3, 0.4]
 mask = np.zeros((BSZ, M), bool); mask[:, 0] = True
@@ -47,7 +47,7 @@ for i in range(STEPS):
         print(f"step {i}: loss {float(comps['total']):.4f}")
 
 raw = {"params": state.params, "batch_stats": state.batch_stats}
-pred = model.predict(raw, imgs)
+pred = model.predict(raw, imgs / 255.0)  # predict takes eval-contract 0-1
 det = detections_to_numpy(non_max_suppression(pred, 0.25, 0.45, max_nms=256))[0]
 print("dets img0 (expect center ~ (44.8, 25.6), box ~[35,13,55,38]):")
 print(det[:4])

@@ -99,7 +99,8 @@ def main():
     state = jax.device_put(state, dev)
     B, S, M = args.batch, args.img, args.max_labels
     rng = jax.random.PRNGKey(2)
-    images = jax.device_put(jax.random.uniform(rng, (B, S, S, 3)), dev)
+    images = jax.device_put(
+        jax.random.uniform(rng, (B, S, S, 3), maxval=255.0), dev)
     hw = jax.device_put(jnp.full((B, 2), S, jnp.float32), dev)
     labels = jnp.zeros((B, M, 5)).at[:, 0].set(
         jnp.asarray([0.0, 0.5, 0.5, 0.25, 0.25]))
