@@ -98,6 +98,12 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.multihost and not jax.distributed.is_initialized():
+        # MUST be the first JAX-touching call in the process:
+        # jax.distributed.initialize() raises once any XLA backend exists,
+        # and even jax.process_count() initializes one (the DDP
+        # init_process_group analog, reference train.py:610)
+        jax.distributed.initialize()
     if args.evolve:
         from rep_yolo_tpu.train.evolve import evolve
         from rep_yolo_tpu.train.hyp import load_hyp
@@ -119,10 +125,6 @@ def main(argv=None):
 
 
 def _run_training(args, hyp_override=None, name="exp", return_dir=False):
-    if args.multihost and jax.process_count() == 1:
-        # idempotent-ish guard: initialize() raises if already called or
-        # if the env carries no coordinator config
-        jax.distributed.initialize()
     from rep_yolo_tpu.data.augment import AugmentConfig, augment_batch
     from rep_yolo_tpu.data.datasets import (DetectionDataset, Loader,
                                             make_synthetic_dataset)

@@ -130,12 +130,15 @@ def load_label_file(path: str, nc: int) -> np.ndarray:
     return l
 
 
-def _cache_key(files: list[str]) -> str:
-    """Hash of the image list + image/label sizes+mtimes — invalidates on
-    any added/removed/edited file (reference keys its cache on a hash of
+def _cache_key(files: list[str], nc: int) -> str:
+    """Hash of the image list + image/label sizes+mtimes + nc — invalidates
+    on any added/removed/edited file (reference keys its cache on a hash of
     the label+image paths and re-verifies on size change,
-    utils/datasets.py:470-523)."""
+    utils/datasets.py:470-523). nc is part of the key because cache hits
+    skip load_label_file's `cls < nc` validation: a cache built with a
+    larger --nc must not satisfy a run with a smaller one."""
     h = hashlib.md5()
+    h.update(f"nc={nc}".encode())
     for f in files:
         h.update(f.encode())
         for p in (f, _img2label(f)):
@@ -156,7 +159,7 @@ def load_labels_cached(files: list[str], nc: int,
                        cache_path: Path | None) -> list[np.ndarray]:
     """Parse + verify all label files, memoized in a single .npz keyed on
     the dataset hash (ragged labels stored as one (N,5) array + counts)."""
-    key = _cache_key(files)
+    key = _cache_key(files, nc)
     if cache_path is not None and cache_path.exists():
         try:
             with np.load(cache_path, allow_pickle=False) as z:

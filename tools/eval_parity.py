@@ -41,13 +41,22 @@ def _greedy_nms_shim():
     import torch.nn as nn
 
     # the reference pickles numpy objects into its labels.cache; torch
-    # >=2.6 defaults weights_only=True and refuses them — restore the
-    # old default for this trusted, locally-generated file
+    # >=2.6 defaults weights_only=True and refuses them — restore the old
+    # default ONLY for files outside /root/reference (i.e. the caches and
+    # weights this tool itself generates locally). Anything pickled inside
+    # the untrusted reference tree keeps the safe default: a stale
+    # reference-side *.cache must not get arbitrary-code deserialization.
     _orig_load = torch.load
 
-    def _load(*a, **k):
-        k.setdefault("weights_only", False)
-        return _orig_load(*a, **k)
+    def _load(f, *a, **k):
+        p = str(getattr(f, "name", f))
+        try:
+            inside_ref = pathlib.Path(p).resolve().is_relative_to(REF)
+        except (OSError, ValueError, TypeError):
+            inside_ref = True  # unresolvable path: keep the safe default
+        if not inside_ref:
+            k.setdefault("weights_only", False)
+        return _orig_load(f, *a, **k)
 
     torch.load = _load
 
