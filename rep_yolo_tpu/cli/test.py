@@ -40,6 +40,9 @@ def parse_args(argv=None):
     p.add_argument("--rect-stride", type=int, default=64,
                    help="bucket-shape quantum (model stride multiple); "
                         "coarser = fewer compiles, more padding")
+    p.add_argument("--plots-dir", default="runs/test",
+                   help="save confusion_matrix.png + PR/P/R/F1 curves here "
+                        "(reference test.py:213-217,245); '' disables")
     return p.parse_args(argv)
 
 
@@ -86,10 +89,18 @@ def main(argv=None):
         return rows
 
     ds = DetectionDataset.from_path(data_path, args.img_size, args.nc)
+    plots_dir = None
+    if args.plots_dir and args.task != "speed":   # speed mode: no plots
+        from rep_yolo_tpu.utils.general import increment_path
+
+        plots_dir = increment_path(Path(args.plots_dir) / "exp")
     res = evaluate(model, variables, ds, batch_size=args.batch_size,
                    img_size=args.img_size, conf_thres=args.conf_thres,
                    iou_thres=args.iou_thres, save_json=args.save_json,
-                   rect=args.rect, rect_stride=args.rect_stride)
+                   rect=args.rect, rect_stride=args.rect_stride,
+                   plots_dir=plots_dir, names=tuple(names or ()))
+    if plots_dir:
+        print(f"eval plots in {plots_dir}")
     out = dict(P=res.mp, R=res.mr, map50=res.map50, map=res.map,
                fitness=res.fitness,
                ms_per_img_infer=res.speed_ms[0],

@@ -44,6 +44,10 @@ def parse_args(argv=None):
                    help="train with auxiliary heads + aux-OTA loss "
                         "(train_aux.py path; use an IAuxDetect cfg)")
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--no-autoanchor", action="store_true",
+                   help="skip the train-start anchor BPR check / "
+                        "re-evolution (reference --noautoanchor; "
+                        "check_anchors runs at train.py:285)")
     p.add_argument("--multi-scale", action="store_true",
                    help="train over static size buckets in ~[0.67,1.33]x "
                         "img-size (reference train.py:365-370)")
@@ -232,6 +236,26 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
     ghyp = scale_gains(hyp, model.cfg.nl, model.cfg.nc, args.img_size)
     from rep_yolo_tpu.train.loss import balance_for
 
+    if not args.no_autoanchor and not args.resume:
+        # anchor fit check + re-evolution at train start (reference
+        # train.py:285 -> utils/autoanchor.py:23-59): if the best possible
+        # recall of the configured anchors on this dataset is < 0.98,
+        # evolve a better set and rebuild the decode/loss anchor grids
+        from rep_yolo_tpu.utils.autoanchor import check_anchors
+
+        bpr, new_anchors = check_anchors(ds, model.anchors_px,
+                                         img_size=args.img_size,
+                                         thr=hyp["anchor_t"],
+                                         seed=args.seed)
+        if new_anchors is None:
+            print(f"autoanchor: BPR {bpr:.4f} — anchors are a good fit")
+        else:
+            model = model.with_anchors(new_anchors)
+            print(f"autoanchor: BPR {bpr:.4f} < 0.98 — evolved new "
+                  f"anchors: {model.anchors_px.reshape(-1, 2).tolist()}")
+        (out_dir / "anchors.json").write_text(json.dumps(
+            {"bpr": bpr, "anchors_px": model.anchors_px.tolist()}))
+
     loss_cfg = LossConfig(
         nc=model.cfg.nc, box_gain=ghyp["box"], obj_gain=ghyp["obj"],
         cls_gain=ghyp["cls"], cls_pw=hyp["cls_pw"], obj_pw=hyp["obj_pw"],
@@ -349,6 +373,27 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
             batches = loader.epoch(epoch)
         def prepare(ib):
             i, batch = ib
+            if epoch == start_epoch and i < 3:
+                # first-batches visual check (reference train.py:401-403):
+                # raw loader canvases with labels rescaled from
+                # content-normalized to canvas coords (augmentation runs
+                # on device inside the step, so this shows the loader's
+                # geometry, which is what label bugs corrupt)
+                try:
+                    from rep_yolo_tpu.utils.plots import plot_images
+
+                    imgs_np = np.asarray(batch["images"])
+                    hw_np = np.asarray(batch["hw"], np.float32)
+                    lb = np.array(batch["labels"], np.float32)
+                    sh, sw = imgs_np.shape[1], imgs_np.shape[2]
+                    lb[..., 1] *= hw_np[:, 1:2] / sw
+                    lb[..., 3] *= hw_np[:, 1:2] / sw
+                    lb[..., 2] *= hw_np[:, 0:1] / sh
+                    lb[..., 4] *= hw_np[:, 0:1] / sh
+                    plot_images(imgs_np, lb, np.asarray(batch["mask"]),
+                                out_dir / f"train_batch{i}.jpg")
+                except Exception as e:
+                    print(f"train-batch plot skipped: {e}")
             inputs = (put_batch(batch["images"]), put_batch(batch["hw"]),
                       put_batch(batch["labels"]), put_batch(batch["mask"]))
             if use_accum:
@@ -395,9 +440,11 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
                                    "train/total": mloss[3]})
 
         if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
+            final = epoch == args.epochs - 1
             res = evaluate(model, state.ema.variables, val_ds,
                            batch_size=args.batch_size,
-                           img_size=args.img_size)
+                           img_size=args.img_size,
+                           plots_dir=out_dir if final else None)
             print(f"  eval: P {res.mp:.3f} R {res.mr:.3f} "
                   f"mAP50 {res.map50:.3f} mAP {res.map:.3f}")
             for c, d in res.per_class.items():
@@ -426,6 +473,15 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
             save_checkpoint(out_dir / f"epoch_{epoch:03d}", state,
                             meta=dict(epoch=epoch, fitness=fit))
     logger.close()
+    try:
+        # end-of-run summary plots (reference train.py:519 plot_results;
+        # plot_labels at train start, train.py:295-300 — done here once)
+        from rep_yolo_tpu.utils.plots import plot_labels, plot_results
+
+        plot_results(results_file, out_dir / "results.png")
+        plot_labels(ds.labels, out_dir, nc=model.cfg.nc)
+    except Exception as e:
+        print(f"summary plots skipped: {e}")
     print(f"done. results in {out_dir}")
     return out_dir if return_dir else res
 

@@ -60,6 +60,21 @@ class RepYOLO:
                    anchors_px=anchors_px, anchors_grid=anchors_grid,
                    deploy=deploy)
 
+    def with_anchors(self, anchors_px: np.ndarray) -> "RepYOLO":
+        """New model view with replaced pixel anchors (the autoanchor
+        result, reference utils/autoanchor.py:54-57 assigning evolved
+        anchors back onto the Detect module): reshape the area-sorted
+        (nl*na, 2) set into per-level groups, re-check order against the
+        strides (reference check_anchor_order, utils/autoanchor.py:12),
+        and recompute the stride-normalized grid the loss uses. Params
+        are untouched — anchors are decode/loss constants, not weights."""
+        a = np.asarray(anchors_px, np.float32).reshape(
+            self.cfg.nl, self.cfg.na, 2)
+        a, strides = _check_anchor_order(a, list(self.strides))
+        grid = a / np.asarray(strides, np.float32)[:, None, None]
+        return dataclasses.replace(self, anchors_px=a, anchors_grid=grid,
+                                   strides=tuple(strides))
+
     def init(self, rng: jax.Array, img_size: int = 640,
              batch: int = 1) -> dict:
         """Initialize variables ({'params', 'batch_stats'}) and apply the

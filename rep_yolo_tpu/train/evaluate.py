@@ -85,12 +85,15 @@ def evaluate(model, variables, ds: DetectionDataset, batch_size: int = 8,
              img_size: int = 640, conf_thres: float = 0.001,
              iou_thres: float = 0.65, verbose: bool = False,
              save_json: str | None = None, rect: bool = False,
-             rect_stride: int = 64) -> EvalResult:
+             rect_stride: int = 64, plots_dir=None,
+             names: tuple = ()) -> EvalResult:
     """`save_json` writes COCO-format detections ([x,y,w,h] boxes, image id
     from the file stem) for pycocotools cross-checking (the reference's
     --save-json path, test.py:152-275). `rect=True` evaluates with
     aspect-bucketed rectangular batches (reference test.py:91) — one
-    compiled program per distinct bucket shape."""
+    compiled program per distinct bucket shape. `plots_dir` saves the
+    visual eval artifacts there: confusion_matrix.png + PR/P/R/F1 curves
+    (reference test.py:213-217,245 + utils/metrics.py:71-75,152)."""
     loader = Loader(ds, batch_size, shuffle=False, drop_last=False)
     # device-put the weights once: numpy leaves would otherwise be baked
     # into every compiled program as constants (one full-weight upload
@@ -108,6 +111,7 @@ def evaluate(model, variables, ds: DetectionDataset, batch_size: int = 8,
 
     iouv = np.linspace(0.5, 0.95, 10)
     stats = []
+    cm = ConfusionMatrix(model.cfg.nc) if plots_dir is not None else None
     json_dets = [] if save_json else None
     # COCO GT uses category ids 1..90; map from our 0..79 training ids
     # when the class count says COCO (reference test.py:83,172 coco91class)
@@ -150,6 +154,8 @@ def evaluate(model, variables, ds: DetectionDataset, batch_size: int = 8,
                 gt = np.zeros((0, 5), np.float32)
             correct = match_predictions(d, gt, iouv)
             stats.append((correct, d[:, 4], d[:, 5], gt[:, 0]))
+            if cm is not None:
+                cm.process_batch(d, gt)
             if json_dets is not None:
                 from pathlib import Path as _P
 
@@ -218,8 +224,10 @@ def evaluate(model, variables, ds: DetectionDataset, batch_size: int = 8,
         tp = np.zeros((0, 10))
         conf = pcls = tcls = np.zeros((0,))
 
+    curves = None
     if tp.shape[0] and tcls.shape[0]:
-        p, r, ap, f1, classes = ap_per_class(tp, conf, pcls, tcls)
+        p, r, ap, f1, classes, curves = ap_per_class(tp, conf, pcls, tcls,
+                                                     return_curves=True)
         ap50, ap_all = ap[:, 0], ap.mean(1)
         mp, mr = p.mean(), r.mean()
         map50, map_ = ap50.mean(), ap_all.mean()
@@ -229,6 +237,31 @@ def evaluate(model, variables, ds: DetectionDataset, batch_size: int = 8,
     else:
         mp = mr = map50 = map_ = 0.0
         per_class = {}
+
+    if plots_dir is not None:
+        # confusion matrix + PR/P/R/F1 curve PNGs in the run dir
+        # (reference test.py:245 + utils/metrics.py:71-75,152)
+        from pathlib import Path as _P
+
+        from rep_yolo_tpu.utils.plots import (plot_confusion_matrix,
+                                              plot_mc_curve, plot_pr_curve)
+
+        pdir = _P(plots_dir)
+        pdir.mkdir(parents=True, exist_ok=True)
+        try:
+            plot_confusion_matrix(cm.matrix, pdir / "confusion_matrix.png",
+                                  names=names)
+            if curves is not None:
+                plot_pr_curve(curves["rec_grid"], curves["py"].T, ap[:, 0],
+                              pdir / "PR_curve.png", names=names)
+                plot_mc_curve(curves["px"], curves["f1"],
+                              pdir / "F1_curve.png", ylabel="F1")
+                plot_mc_curve(curves["px"], curves["p"],
+                              pdir / "P_curve.png", ylabel="Precision")
+                plot_mc_curve(curves["px"], curves["r"],
+                              pdir / "R_curve.png", ylabel="Recall")
+        except Exception as e:  # matplotlib absent/headless quirks
+            print(f"eval plots skipped: {type(e).__name__}: {e}")
 
     if json_dets is not None:
         import json as _json

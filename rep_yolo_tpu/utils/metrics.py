@@ -29,12 +29,16 @@ def compute_ap(recall: np.ndarray, precision: np.ndarray):
 
 
 def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,
-                 target_cls: np.ndarray):
+                 target_cls: np.ndarray, return_curves: bool = False):
     """Per-class P, R, AP, F1 (reference utils/metrics.py:18-78).
 
     tp: (n, n_iou) bool/0-1 TP matrix; conf: (n,); pred_cls: (n,);
     target_cls: (m,). Returns (p, r, ap, f1, unique_classes) where p/r/f1
-    are at the max-F1 confidence and ap is (nc, n_iou).
+    are at the max-F1 confidence and ap is (nc, n_iou). With
+    return_curves a dict of the underlying curves is appended —
+    px/p/r/f1 over the confidence grid and py = per-class precision over
+    the recall grid at IoU 0.5 (what the reference's plot path feeds to
+    plot_pr_curve/plot_mc_curve, utils/metrics.py:71-75).
     """
     i = np.argsort(-conf)
     tp, conf, pred_cls = tp[i], conf[i], pred_cls[i]
@@ -48,6 +52,8 @@ def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,
     ap = np.zeros((nc, n_iou))
     p = np.zeros((nc, 1000))
     r = np.zeros((nc, 1000))
+    py = np.zeros((nc, 101))
+    rec_grid = np.linspace(0, 1, 101)
     for ci, c in enumerate(unique_classes):
         sel = pred_cls == c
         n_l = (target_cls == c).sum()
@@ -61,11 +67,18 @@ def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,
         precision = tpc / (tpc + fpc)
         p[ci] = np.interp(-px, -conf[sel], precision[:, 0], left=1)
         for j in range(n_iou):
-            ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
+            ap[ci, j], mpre, mrec = compute_ap(recall[:, j],
+                                               precision[:, j])
+            if j == 0:
+                py[ci] = np.interp(rec_grid, mrec, mpre)
 
     f1 = 2 * p * r / (p + r + 1e-16)
     i = f1.mean(0).argmax()
-    return p[:, i], r[:, i], ap, f1[:, i], unique_classes.astype(np.int32)
+    out = (p[:, i], r[:, i], ap, f1[:, i], unique_classes.astype(np.int32))
+    if return_curves:
+        return out + (dict(px=px, p=p, r=r, f1=f1,
+                           rec_grid=rec_grid, py=py),)
+    return out
 
 
 def match_predictions(pred: np.ndarray, labels: np.ndarray,

@@ -171,6 +171,12 @@ def test_cli_train_mesh_smoke(tmp_path):
                     "--eval-every", "1"])
     assert (out_dir / "results.txt").exists()
     assert (out_dir / "last.json").exists()
+    # observability artifacts (reference train.py:401-403, test.py:245)
+    assert (out_dir / "train_batch0.jpg").exists()
+    assert (out_dir / "confusion_matrix.png").exists()
+    assert (out_dir / "PR_curve.png").exists()
+    assert (out_dir / "results.png").exists()
+    assert (out_dir / "anchors.json").exists()   # autoanchor BPR record
 
 
 def test_grad_accumulation_applies_every_target(setup):
