@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from pathlib import Path
 
@@ -106,8 +107,19 @@ def main(argv=None):
         # MUST be the first JAX-touching call in the process:
         # jax.distributed.initialize() raises once any XLA backend exists,
         # and even jax.process_count() initializes one (the DDP
-        # init_process_group analog, reference train.py:610)
-        jax.distributed.initialize()
+        # init_process_group analog, reference train.py:610).
+        # On TPU pods the args auto-detect; for manual launches the
+        # reference-style env (WORLD_SIZE/RANK/MASTER_ADDR/MASTER_PORT,
+        # reference train.py:578-579) supplies them explicitly.
+        kw = {}
+        if os.environ.get("WORLD_SIZE"):
+            kw = dict(
+                coordinator_address=(os.environ.get("MASTER_ADDR",
+                                                    "127.0.0.1") + ":" +
+                                     os.environ.get("MASTER_PORT", "12355")),
+                num_processes=int(os.environ["WORLD_SIZE"]),
+                process_id=int(os.environ.get("RANK", "0")))
+        jax.distributed.initialize(**kw)
     if args.evolve:
         from rep_yolo_tpu.train.evolve import evolve
         from rep_yolo_tpu.train.hyp import load_hyp
@@ -133,7 +145,8 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
     from rep_yolo_tpu.data.datasets import (DetectionDataset, Loader,
                                             make_synthetic_dataset)
     from rep_yolo_tpu.models.model import RepYOLO
-    from rep_yolo_tpu.parallel.mesh import make_mesh
+    from rep_yolo_tpu.parallel.mesh import (barrier, make_mesh,
+                                            replicate_host_tree)
     from rep_yolo_tpu.train import optim as optim_lib
     from rep_yolo_tpu.train.checkpoint import save_checkpoint
     from rep_yolo_tpu.train.evaluate import evaluate
@@ -143,15 +156,27 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
     from rep_yolo_tpu.train.trainer import create_train_state, make_train_step
     from rep_yolo_tpu.utils.general import increment_path
 
+    # host-side artifacts (run dir, logs, checkpoints, eval, plots) are
+    # process-0-only in multi-process runs — the rank-0 gating of
+    # reference train.py:267,419 (the train step itself is a single
+    # global program on every process)
+    is_main = jax.process_index() == 0
+
     if args.resume:
         # continue IN the resumed run's directory (a fresh increment would
         # orphan the old run's last.json and loop any resume daemon forever)
         out_dir = Path(args.resume).parent
         out_dir.mkdir(parents=True, exist_ok=True)
-    else:
+    elif is_main:
         out_dir = increment_path(Path(args.project) / name)
         out_dir.mkdir(parents=True, exist_ok=True)
-    (out_dir / "opt.json").write_text(json.dumps(vars(args), indent=2))
+    else:
+        # non-main processes never write artifacts; give them a scratch
+        # dir so synthetic-data roots etc. stay per-process
+        out_dir = Path(args.project) / f"{name}_proc{jax.process_index()}"
+        out_dir.mkdir(parents=True, exist_ok=True)
+    if is_main:
+        (out_dir / "opt.json").write_text(json.dumps(vars(args), indent=2))
 
     # data: a YOLO-layout dir, 'synthetic[:N]', or a reference-style
     # dataset YAML (train/val paths + nc + names, data/*.yaml)
@@ -227,7 +252,10 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
     # accelerator is pathologically slow, and the state is device_put to
     # the mesh right after anyway
     model = RepYOLO.from_config(args.cfg, nc=args.nc, remat=args.remat)
-    with jax.default_device(jax.devices("cpu")[0]):
+    # local_devices, not devices: in multi-process runs jax.devices() is
+    # the GLOBAL list and [0] may be another process's (non-addressable)
+    # device — init results there cannot even be read back
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
         variables = model.init(jax.random.PRNGKey(args.seed),
                                img_size=args.img_size)
 
@@ -253,8 +281,9 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
             model = model.with_anchors(new_anchors)
             print(f"autoanchor: BPR {bpr:.4f} < 0.98 — evolved new "
                   f"anchors: {model.anchors_px.reshape(-1, 2).tolist()}")
-        (out_dir / "anchors.json").write_text(json.dumps(
-            {"bpr": bpr, "anchors_px": model.anchors_px.tolist()}))
+        if is_main:
+            (out_dir / "anchors.json").write_text(json.dumps(
+                {"bpr": bpr, "anchors_px": model.anchors_px.tolist()}))
 
     loss_cfg = LossConfig(
         nc=model.cfg.nc, box_gain=ghyp["box"], obj_gain=ghyp["obj"],
@@ -317,7 +346,7 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
 
     state = create_train_state(variables, jax.random.PRNGKey(args.seed + 1),
                                accumulate=use_accum)
-    state = jax.device_put(state, repl)
+    state = replicate_host_tree(state, mesh)
 
     if n_proc > 1:
         # multi-host: assemble each global batch from per-process shards
@@ -336,7 +365,9 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
         # restore full TrainState + epoch pointer (reference train.py:216-241)
         from rep_yolo_tpu.train.checkpoint import load_checkpoint
 
-        state = jax.device_put(load_checkpoint(args.resume, state), repl)
+        state = replicate_host_tree(
+            jax.tree.map(np.asarray, load_checkpoint(args.resume, state)),
+            mesh)
         meta_path = Path(args.resume).with_suffix(".json")
         if meta_path.exists():
             start_epoch = json.loads(meta_path.read_text()).get("epoch", -1) + 1
@@ -344,8 +375,9 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
 
     from rep_yolo_tpu.utils.logger import RunLogger
 
-    logger = RunLogger(out_dir, wandb_project=args.wandb)
-    logger.log_config("hyp", hyp)
+    logger = RunLogger(out_dir, wandb_project=args.wandb) if is_main else None
+    if logger:
+        logger.log_config("hyp", hyp)
 
     if args.image_weights:
         from rep_yolo_tpu.utils.general import (labels_to_class_weights,
@@ -357,9 +389,12 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
     res = None  # last eval result (stays None if no epoch evals ran)
     maps = np.zeros(model.cfg.nc)  # per-class mAP for image-weight updates
     results_file = out_dir / "results.txt"
-    if not args.resume:
+    if not args.resume and is_main:
         # pre-training snapshot (reference train.py:319 init.pt)
         save_checkpoint(out_dir / "init", state, meta=dict(epoch=-1))
+    # align processes before the first step collective: gloo/ICI context
+    # init tolerates only ~30s of skew, and per-process init time varies
+    barrier("ry_train_start")
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         mloss = np.zeros(4)
@@ -373,7 +408,7 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
             batches = loader.epoch(epoch)
         def prepare(ib):
             i, batch = ib
-            if epoch == start_epoch and i < 3:
+            if epoch == start_epoch and i < 3 and is_main:
                 # first-batches visual check (reference train.py:401-403):
                 # raw loader canvases with labels rescaled from
                 # content-normalized to canvas coords (augmentation runs
@@ -432,16 +467,25 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
                 f"box {mloss[0]:.4f} obj {mloss[1]:.4f} cls {mloss[2]:.4f} "
                 f"total {mloss[3]:.4f} ({time.time() - t0:.1f}s)")
         print(line)
-        with open(results_file, "a") as f:
-            f.write(line + "\n")
-        logger.log_scalars(epoch, {"train/box": mloss[0],
-                                   "train/obj": mloss[1],
-                                   "train/cls": mloss[2],
-                                   "train/total": mloss[3]})
+        if is_main:
+            with open(results_file, "a") as f:
+                f.write(line + "\n")
+            logger.log_scalars(epoch, {"train/box": mloss[0],
+                                       "train/obj": mloss[1],
+                                       "train/cls": mloss[2],
+                                       "train/total": mloss[3]})
 
-        if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
+        if is_main and ((epoch + 1) % args.eval_every == 0
+                        or epoch == args.epochs - 1):
             final = epoch == args.epochs - 1
-            res = evaluate(model, state.ema.variables, val_ds,
+            ema_vars = state.ema.variables
+            if n_proc > 1:
+                # rank-0-only eval is a process-LOCAL computation: globally
+                # replicated arrays can't feed a local jit, so pull the
+                # (replicated, hence addressable) EMA weights to host and
+                # let evaluate() re-place them on local devices
+                ema_vars = jax.device_get(ema_vars)
+            res = evaluate(model, ema_vars, val_ds,
                            batch_size=args.batch_size,
                            img_size=args.img_size,
                            plots_dir=out_dir if final else None)
@@ -466,22 +510,28 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
         # cadence (reference train.py:461-483): last every epoch; epoch
         # snapshots at 0, every 25, and the final 5 epochs
         fit = res.fitness if res is not None else 0.0
-        save_checkpoint(out_dir / "last", state,
-                        meta=dict(epoch=epoch, fitness=fit))
-        if (epoch == 0 or (epoch + 1) % 25 == 0
-                or epoch >= args.epochs - 5):
-            save_checkpoint(out_dir / f"epoch_{epoch:03d}", state,
+        if is_main:
+            save_checkpoint(out_dir / "last", state,
                             meta=dict(epoch=epoch, fitness=fit))
-    logger.close()
-    try:
-        # end-of-run summary plots (reference train.py:519 plot_results;
-        # plot_labels at train start, train.py:295-300 — done here once)
-        from rep_yolo_tpu.utils.plots import plot_labels, plot_results
+            if (epoch == 0 or (epoch + 1) % 25 == 0
+                    or epoch >= args.epochs - 5):
+                save_checkpoint(out_dir / f"epoch_{epoch:03d}", state,
+                                meta=dict(epoch=epoch, fitness=fit))
+        # re-align after rank-0-only eval/checkpoint host work, so no
+        # process waits inside a step collective past its rendezvous
+        barrier(f"ry_epoch_{epoch}")
+    if logger:
+        logger.close()
+    if is_main:
+        try:
+            # end-of-run summary plots (reference train.py:519 plot_results;
+            # plot_labels at train start, train.py:295-300 — done here once)
+            from rep_yolo_tpu.utils.plots import plot_labels, plot_results
 
-        plot_results(results_file, out_dir / "results.png")
-        plot_labels(ds.labels, out_dir, nc=model.cfg.nc)
-    except Exception as e:
-        print(f"summary plots skipped: {e}")
+            plot_results(results_file, out_dir / "results.png")
+            plot_labels(ds.labels, out_dir, nc=model.cfg.nc)
+        except Exception as e:
+            print(f"summary plots skipped: {e}")
     print(f"done. results in {out_dir}")
     return out_dir if return_dir else res
 

@@ -46,3 +46,45 @@ def shard_batch(mesh: Mesh, tree, axis_name: str = "data"):
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def replicate_host_tree(tree, mesh: Mesh):
+    """Host pytree -> fully-replicated global arrays, collective-free.
+
+    In multi-process runs, `jax.device_put(host_data, global_sharding)`
+    first runs multihost_utils.assert_equal — a cross-process allgather
+    whose gloo rendezvous times out at ~30 s, which model-init/compile
+    skew between processes easily exceeds on slow hosts. Every process
+    is REQUIRED to pass identical data (same seed or same checkpoint —
+    the invariant DDP broadcast establishes, reference train.py:610);
+    this builds the replicated arrays directly from local device buffers
+    with no cross-process communication.
+    """
+    repl = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, repl)
+
+    def put(x):
+        x = np.asarray(x)
+        bufs = [jax.device_put(x, d) for d in mesh.local_devices]
+        return jax.make_array_from_single_device_arrays(x.shape, repl, bufs)
+
+    return jax.tree.map(put, tree)
+
+
+def barrier(name: str, timeout_ms: int = 3_600_000) -> None:
+    """Cross-process barrier via the jax.distributed coordination service.
+
+    Unlike gloo/ICI collectives (whose rendezvous window is ~30 s), this
+    tolerates long skew — use it to re-align processes around
+    rank-0-only host work (eval, checkpoints), so no process sits inside
+    a step collective while rank 0 is busy (the torch.distributed
+    barrier analog, reference utils/torch_utils.py:27-36).
+    """
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)

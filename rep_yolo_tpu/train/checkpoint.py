@@ -42,6 +42,12 @@ def save_checkpoint(path: str | Path, state, meta: dict | None = None):
     path = Path(path).resolve()
     path.parent.mkdir(parents=True, exist_ok=True)
     try:
+        # multi-process runs save rank-0-only (reference train.py:419
+        # gating); orbax's writer would block on global sync barriers the
+        # other processes never enter, so use the local .npz format there
+        # (the state is fully replicated — plain host arrays)
+        if jax.process_count() > 1:
+            raise RuntimeError("multiprocess: local npz checkpoint")
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()
