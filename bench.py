@@ -89,7 +89,10 @@ def main() -> None:
         _emit_error("no TPU backend (default platform is cpu); refusing a "
                     "640px b128 CPU run — " + info)
         return
-    env = dict(os.environ, RY_BENCH_INNER="1")
+    # the box pins JAX_PLATFORMS=axon, which makes the CPU backend
+    # unregistered — but _inner needs it for fast init/fuse. "axon,cpu"
+    # keeps the TPU as default AND registers cpu (verified on this box).
+    env = dict(os.environ, RY_BENCH_INNER="1", JAX_PLATFORMS="axon,cpu")
     t0 = time.time()
     try:
         p = subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -114,6 +117,11 @@ def main() -> None:
                 + " | ".join(tail))
 
 
+def _nullcontext():
+    from contextlib import nullcontext
+    return nullcontext()
+
+
 def _inner() -> None:
     import jax
     import jax.numpy as jnp
@@ -129,8 +137,11 @@ def _inner() -> None:
     model = RepYOLO.from_config("cfg/rep_yolo.yaml")
     # init/fuse on CPU (tracing the init on the tunneled TPU is pathologically
     # slow), then push fused bf16 params to the TPU
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None  # cpu backend unregistered: init on the default backend
+    with jax.default_device(cpu) if cpu is not None else _nullcontext():
         variables = model.init(jax.random.PRNGKey(0), img_size=256)
         deploy, fused = model.fuse(variables)
         # bf16 compute path: cast params and inputs (MXU-native)
