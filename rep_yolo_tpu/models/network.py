@@ -250,7 +250,7 @@ class DetectionNet(nn.Module):
             elif n == "ReOrg":
                 y = B.ReOrg()(inp)
             elif n == "MP":
-                y = B.max_pool(inp, 2, 2)
+                y = self._max_pool2(spec, inp, train)
             elif n == "SP":
                 k = spec.args[0] if spec.args else 3
                 s = spec.args[1] if len(spec.args) > 1 else 1
@@ -272,3 +272,23 @@ class DetectionNet(nn.Module):
             if spec.save:
                 saved[spec.i] = y
         return y  # the head's output list
+
+    def _max_pool2(self, spec, inp, train: bool):
+        """Backbone MP (2x2/s2). When the producing layer is a DER block
+        running the channel-major deploy fast path, pool channel-major
+        too: the NHWC<->NCHW transposes around the pool are exact
+        inverses of the DER kernels' edge transposes, and XLA's
+        algebraic simplifier cancels the pairs — the cm region then
+        spans DER->MP->DER with no relayout between (the block-edge
+        transposes were ~20 ms of the b32 forward, BASELINE.md)."""
+        if self.deploy and not train and B.CMAJOR_DEPLOY:
+            j = spec.i - 1 if spec.f[0] == -1 else spec.f[0]
+            prod = self.cfg.layers[j]
+            if (prod.name == "DER_Block" and isinstance(prod.c1, int)
+                    and B._CMAJOR_SELECT(prod.c1, inp.shape[1],
+                                         inp.shape[2])):
+                from rep_yolo_tpu.ops.pallas.conv_flat import max_pool_cm
+
+                xc = jnp.transpose(inp, (0, 3, 1, 2))
+                return jnp.transpose(max_pool_cm(xc), (0, 2, 3, 1))
+        return B.max_pool(inp, 2, 2)

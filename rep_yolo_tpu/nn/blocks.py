@@ -470,8 +470,7 @@ class DERBlock(nn.Module):
         Returns None (before declaring anything) when the mode needs
         calibration scales that are missing."""
         from rep_yolo_tpu.ops.pallas.conv_kernel import (
-            conv1x1_cmajor, conv1x1_cmajor_q8, conv3x3_cmajor,
-            conv3x3_cmajor_q8)
+            conv1x1_cmajor, conv3x3_cmajor)
 
         c1, c2 = self.c1, self.c2
         half = c1 // 2
@@ -537,29 +536,51 @@ class DERBlock(nn.Module):
                 jnp.full((c1,), scales["cv1"], jnp.float32)])
             k_cv1 = k_cv1.astype(jnp.float32) * sec[None, None, :, None]
 
-        if mode in ("q8", "bf16"):
+        if mode == "q8":
+            # v2 flat kernels (ops/pallas/conv_flat.py): the whole block
+            # runs on flat (B, C, H*W) row-major int8 with in-kernel halo
+            # handling — no XLA pads/reshapes/concat between convs
+            # (~12 ms of the 31.7 ms l1 cost at b32 was that glue).
+            # Quantize BEFORE the entry transpose so the transpose copy
+            # moves int8, not bf16 (XLA fuses quant into the copy).
+            from rep_yolo_tpu.ops.pallas.conv_flat import (
+                conv1x1_flat_q8, conv3x3_flat_q8)
+
+            bn, hh, ww, _ = x.shape
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32)
+                                    * (1.0 / scales["st1"])), -127, 127
+                          ).astype(jnp.int8)
+            xf = jnp.transpose(xq, (0, 3, 1, 2)).reshape(bn, c1, hh * ww)
+
+            def conv(name, h):
+                kern, bias = params[name]
+                if kern.shape[0] == 3:
+                    return conv3x3_flat_q8(h, kern, bias, scales[name],
+                                           hh, ww, act="silu",
+                                           out_scale=scales[nxt[name]])
+                return conv1x1_flat_q8(h, kern, bias, scales[name],
+                                       act="silu",
+                                       out_scale=scales[nxt[name]])
+
+            x1, x4_1, x4_3 = run_chain(xf, conv)
+            y = conv1x1_flat_q8([x1, x4_1, x4_3], k_cv1, b_cv1, 1.0,
+                                act="silu")
+            y = jnp.transpose(y.reshape(bn, self.c2, hh, ww), (0, 2, 3, 1))
+            return y.astype(x.dtype)
+
+        if mode == "bf16":
             xc = jnp.transpose(x, (0, 3, 1, 2))
-            if mode == "q8":
-                def conv(name, h):
-                    kern, bias = params[name]
-                    fn = (conv3x3_cmajor_q8 if kern.shape[0] == 3
-                          else conv1x1_cmajor_q8)
-                    return fn(h, kern, bias, scales[name], act="silu",
-                              out_scale=scales[nxt[name]])
-            else:
-                def conv(name, h):
-                    kern, bias = params[name]
-                    fn = (conv3x3_cmajor if kern.shape[0] == 3
-                          else conv1x1_cmajor)
-                    return fn(h, kern.astype(h.dtype), bias, act="silu")
+
+            def conv(name, h):
+                kern, bias = params[name]
+                fn = (conv3x3_cmajor if kern.shape[0] == 3
+                      else conv1x1_cmajor)
+                return fn(h, kern.astype(h.dtype), bias, act="silu")
 
             x1, x4_1, x4_3 = run_chain(xc, conv)
             cat = jnp.concatenate([x1, x4_1, x4_3], axis=1)
-            if mode == "q8":
-                y = conv1x1_cmajor_q8(cat, k_cv1, b_cv1, 1.0, act="silu")
-            else:
-                y = conv1x1_cmajor(cat, k_cv1.astype(cat.dtype), b_cv1,
-                                   act="silu")
+            y = conv1x1_cmajor(cat, k_cv1.astype(cat.dtype), b_cv1,
+                               act="silu")
             return jnp.transpose(y, (0, 2, 3, 1)).astype(x.dtype)
 
         # mode == "xla_q8": NHWC int8-resident XLA convs

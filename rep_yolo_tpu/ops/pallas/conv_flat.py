@@ -1,0 +1,306 @@
+"""Pallas TPU kernels v2: glue-free fused convolutions on flat row-major
+(B, C, H*W) activations.
+
+The first-generation channel-major kernels (ops/pallas/conv_kernel.py)
+required the caller to pad the width to a 128 multiple and flatten rows
+in XLA before every conv. At the target batch (b32, 640px) that XLA glue
+— pad copies, 3D<->4D reshape relayouts, the pre-cv1 concat — measured
+~12 ms of the DER l1 block's 31.7 ms (trace rollup, round 3), and the
+lane padding (WP=384 for W=322) wasted 19% of the MXU columns.
+
+These v2 kernels take the activation exactly as the previous kernel (or
+a single XLA transpose at the region edge) produced it: a flat
+(B, C, H*W) row-major array, i.e. a free bitcast of (B, C, H, W). The
+convolution halo is handled *inside* the kernel:
+
+- the row slab is DMA'd per (batch, row-tile) program directly from the
+  unpadded input with one contiguous copy (edge tiles memset the missing
+  halo row);
+- the width wrap of the flat layout (output col 0 tap v=-1 reads the
+  previous row's last pixel instead of a zero pad) is fixed by masking
+  the two affected im2col taps with an iota-modulo select — no padded
+  copy of the activation ever exists;
+- everything else (K=9C im2col packing, int8 MXU dot with s32
+  accumulation, dequant+bias+SiLU epilogue, int8-resident chaining via
+  `out_scale`) matches the v1 kernels.
+
+`conv1x1_flat_q8` additionally accepts a LIST of inputs: the DER block's
+3-way concat (reference models/common.py:3652-3654) is folded into the
+cv1 kernel as per-section accumulating dots, eliminating the concat copy.
+
+Layout contract: activations (B, C, H*W) row-major; weights HWIO like
+the rest of the framework (packed/quantized at trace time, constant-
+folded by XLA). Wired into the deploy graph by DERBlock's channel-major
+fast path (nn/blocks.py set_cmajor_deploy mode "q8").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rep_yolo_tpu.ops.pallas.conv_kernel import (
+    _q8_epilogue, _round_up, pick_row_tile, quantize_weights)
+
+# left guard so tap offset -1 at the first data lane stays in bounds;
+# the garbage it reads is killed by the v=0 tap mask
+_PAD = 128
+
+
+def _data_base(W: int) -> int:
+    """Slab lane where the tile's halo row (abs row i*TH-1) starts.
+
+    Mosaic requires DMA slices on tiled refs to be 128-lane aligned. The
+    raw source start (i*TH-1)*W has residue (-W) % 128 — CONSTANT across
+    tiles because pick_row_tile guarantees (TH*W) % 128 == 0 — so every
+    branch below widens its copy to the enclosing aligned window and the
+    kernel reads data at this fixed unaligned base instead."""
+    return _PAD + (-W) % 128
+
+
+def _load_slab(x_ref, slab, b, i, *, C, TH, W, H):
+    """One contiguous aligned DMA of rows [i*TH-1, i*TH+TH] into slab
+    lanes [_data_base, _data_base+(TH+2)*W); edge tiles memset the
+    missing halo row. All DMA starts/sizes are 128-aligned by
+    construction (see _data_base)."""
+    n_tiles = H // TH
+    off = (-W) % 128
+    db = _PAD + off
+
+    def copy(src_lane0, size, dst_lane0, sem):
+        cp = pltpu.make_async_copy(
+            x_ref.at[b, :, pl.ds(src_lane0, size)],
+            slab.at[:, pl.ds(dst_lane0, size)], sem)
+        cp.start()
+        cp.wait()
+
+    def zero_row(r):
+        slab[:, pl.ds(db + r * W, W)] = jnp.zeros((C, W), slab.dtype)
+
+    if n_tiles == 1:
+        zero_row(0)
+        zero_row(TH + 1)
+        # image rows 0..TH-1 land at tile rows 1..TH; src start 0 and
+        # size TH*W are aligned; dst db+W is aligned (off+W = rnd128(W))
+        pl.run_scoped(functools.partial(copy, 0, TH * W, db + W),
+                      pltpu.SemaphoreType.DMA(()))
+        return
+
+    @pl.when(i == 0)
+    def _first():
+        zero_row(0)
+        size0 = _round_up((TH + 1) * W, 128)
+        pl.run_scoped(functools.partial(copy, 0, size0, db + W),
+                      pltpu.SemaphoreType.DMA(()))
+
+    # src start (i*TH-1)*W - off as an explicit multiple of 128 so
+    # Mosaic's divisibility prover accepts the dynamic slice offset
+    # ((TH*W) % 128 == 0 and (W+off) % 128 == 0 make it exact)
+    def src0(idx):
+        return (idx * (TH * W // 128) - (W + off) // 128) * 128
+
+    @pl.when(i == n_tiles - 1)
+    def _last():
+        zero_row(TH + 1)
+        # exactly (TH+1)*W + off lanes: ends at H*W — aligned, no overrun
+        def go(sem):
+            copy(src0(i), (TH + 1) * W + off, _PAD, sem)
+        pl.run_scoped(go, pltpu.SemaphoreType.DMA(()))
+
+    @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
+    def _interior():
+        def go(sem):
+            copy(src0(i), _round_up((TH + 2) * W + off, 128), _PAD, sem)
+        pl.run_scoped(go, pltpu.SemaphoreType.DMA(()))
+
+
+def _im2col_taps(slab_q, xv, *, C, TH, W):
+    """xv[(v*3+u)*C + c, j] = x_pad[c, h+u-1, w+v-1] for j = h*W + w, from
+    the flat slab (row r of the halo'd tile at lanes _PAD + r*W). Taps
+    v=0 / v=2 wrap across row seams in the flat layout; an iota-mod mask
+    zeroes exactly the wrapped columns (the zero-pad semantics)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, TH * W), 1) % W
+    left_edge = col == 0         # v=0 garbage: reads prev row's last col
+    right_edge = col == W - 1    # v=2 garbage: reads next row's first col
+    zero = jnp.zeros((C, TH * W), slab_q.dtype)
+    db = _data_base(W)
+    for u in range(3):
+        for v in range(3):
+            off = db + u * W + (v - 1)
+            val = slab_q[:, off:off + TH * W]
+            if v == 0:
+                val = jnp.where(left_edge, zero, val)
+            elif v == 2:
+                val = jnp.where(right_edge, zero, val)
+            xv[pl.ds((v * 3 + u) * C, C), :] = val
+
+
+def _conv3_flat_q8_kernel(x_ref, w_ref, sw_ref, b_ref, y_ref, slab, xv, *,
+                          C, O, TH, W, H, act, s_in, out_scale, out_dtype):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    _load_slab(x_ref, slab, b, i, C=C, TH=TH, W=W, H=H)
+    if slab.dtype == jnp.int8:
+        slab_q = slab[:, :]
+    else:
+        slab_q = jnp.clip(jnp.round(slab[:, :].astype(jnp.float32)
+                                    * (1.0 / s_in)), -127, 127
+                          ).astype(jnp.int8)
+    _im2col_taps(slab_q, xv, C=C, TH=TH, W=W)
+    acc = jnp.dot(w_ref[:, :], xv[:, :],
+                  preferred_element_type=jnp.int32)          # (O, TH*W)
+    y_ref[0, :, :] = _q8_epilogue(acc, sw_ref, b_ref, s_in, act,
+                                  out_scale, out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "s_in", "act",
+                                             "out_scale", "row_tile"))
+def conv3x3_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
+                    s_in: float, H: int, W: int, act: str | None = "silu",
+                    out_scale: float | None = None,
+                    row_tile: int | None = None) -> jax.Array:
+    """Fused int8 3x3 stride-1 conv on a flat (B, C, H*W) activation:
+    in-kernel halo, quant -> s32 dot -> dequant+bias+act (+requant when
+    `out_scale` chains into another quantized conv).
+
+    x: (B, C, H*W) float (quantized in-kernel at `s_in`) or already-int8;
+    w: (3, 3, C, O) HWIO float; bias: (O,). Returns (B, O, H*W) bf16, or
+    int8 at `out_scale`.
+    """
+    B, C, HW = x.shape
+    assert HW == H * W, (x.shape, H, W)
+    O = w.shape[-1]
+    TH = row_tile or pick_row_tile(H, W)
+    assert H % TH == 0, (H, TH)
+
+    w9 = jnp.transpose(w, (3, 1, 0, 2)).reshape(O, 9 * C)
+    w_q, s_w = quantize_weights(w9)
+    KP = _round_up(9 * C, 32)
+    if KP > 9 * C:
+        w_q = jnp.pad(w_q, ((0, 0), (0, KP - 9 * C)))
+    b2 = bias.reshape(O, 1).astype(jnp.float32)
+
+    out_dtype = jnp.int8 if out_scale is not None else jnp.bfloat16
+    kernel = functools.partial(
+        _conv3_flat_q8_kernel, C=C, O=O, TH=TH, W=W, H=H, act=act,
+        s_in=float(s_in), out_scale=out_scale, out_dtype=out_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H // TH),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),        # x stays in HBM
+            pl.BlockSpec((O, KP), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((O, 1), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((O, 1), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, O, TH * W), lambda b, i: (b, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, O, H * W), out_dtype),
+        scratch_shapes=[
+            # +256 right guard: DMA round-up slack plus the (u=2, v=2)
+            # tap's one-lane overread (masked out by the right_edge select)
+            pltpu.VMEM((C, _data_base(W) + (TH + 2) * W + 256), x.dtype),
+            pltpu.VMEM((KP, TH * W), jnp.int8),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(x, w_q, s_w, b2)
+
+
+def _conv1_flat_q8_kernel(*refs, n_in, act, s_in, out_scale, out_dtype):
+    x_refs = refs[:n_in]
+    w_refs = refs[n_in:2 * n_in]
+    sw_ref, b_ref, y_ref = refs[2 * n_in:2 * n_in + 3]
+    acc = None
+    for x_ref, w_ref in zip(x_refs, w_refs):
+        if x_ref.dtype == jnp.int8:
+            xq = x_ref[0]
+        else:
+            xq = jnp.clip(jnp.round(x_ref[0].astype(jnp.float32)
+                                    * (1.0 / s_in)), -127, 127
+                          ).astype(jnp.int8)
+        d = jnp.dot(w_ref[:, :], xq, preferred_element_type=jnp.int32)
+        acc = d if acc is None else acc + d
+    y_ref[0, :, :] = _q8_epilogue(acc, sw_ref, b_ref, s_in, act,
+                                  out_scale, out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("s_in", "act", "out_scale",
+                                             "row_tile"))
+def conv1x1_flat_q8(x, w: jax.Array, bias: jax.Array, s_in: float,
+                    act: str | None = "silu",
+                    out_scale: float | None = None,
+                    row_tile: int | None = None) -> jax.Array:
+    """Fused int8 1x1 conv on flat (B, C, H*W) activation(s).
+
+    `x` may be a single array or a LIST of arrays (B, Ci, H*W): the list
+    form computes conv(concat(xs, axis=1)) without materializing the
+    concat — one accumulating dot per section (the DER 3-way concat,
+    reference models/common.py:3652). All list entries must share the
+    input scale treatment: either pre-quantized int8 (scale folded into
+    `w` per-section by the caller) or floats quantized at `s_in`.
+    w: (1, 1, sum(Ci), O) HWIO float; bias: (O,).
+    """
+    xs = list(x) if isinstance(x, (list, tuple)) else [x]
+    B, _, HW = xs[0].shape
+    w2 = w.reshape(w.shape[-2], w.shape[-1])                  # (sum C, O)
+    O = w2.shape[-1]
+    # one global per-output-channel scale across all sections (exactness:
+    # quantize the transposed full matrix once, then split rows)
+    w_q, s_w = quantize_weights(jnp.transpose(w2))            # (O, sum C)
+    splits, off = [], 0
+    for xi in xs:
+        Ci = xi.shape[1]
+        splits.append(w_q[:, off:off + Ci])
+        off += Ci
+    assert off == w2.shape[0], (off, w2.shape)
+    b2 = bias.reshape(O, 1).astype(jnp.float32)
+
+    # pick a tile from the flat length: factor HW into (h, w)-ish rows
+    TH = row_tile or _flat_tile(HW)
+    out_dtype = jnp.int8 if out_scale is not None else jnp.bfloat16
+    kernel = functools.partial(
+        _conv1_flat_q8_kernel, n_in=len(xs), act=act, s_in=float(s_in),
+        out_scale=out_scale, out_dtype=out_dtype)
+    in_specs = [pl.BlockSpec((1, xi.shape[1], TH), lambda b, i: (b, 0, i),
+                             memory_space=pltpu.VMEM) for xi in xs]
+    in_specs += [pl.BlockSpec(ws.shape, lambda b, i: (0, 0),
+                              memory_space=pltpu.VMEM) for ws in splits]
+    in_specs += [pl.BlockSpec((O, 1), lambda b, i: (0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((O, 1), lambda b, i: (0, 0),
+                              memory_space=pltpu.VMEM)]
+    return pl.pallas_call(
+        kernel,
+        grid=(B, HW // TH),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, O, TH), lambda b, i: (b, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, O, HW), out_dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(*xs, *splits, s_w, b2)
+
+
+def _flat_tile(hw: int, cap_lanes: int = 128 * 64) -> int:
+    """Largest 128-multiple divisor of the flat length <= cap."""
+    t = 128
+    for cand in range(cap_lanes, 127, -128):
+        if hw % cand == 0:
+            t = cand
+            break
+    return t
+
+
+def max_pool_cm(x: jax.Array) -> jax.Array:
+    """2x2 stride-2 max pool on an NCHW tensor (reference MP,
+    models/common.py:32) as a reshape+max — XLA fuses it into one
+    strided loop fusion; no reduce_window, no layout constraint."""
+    B, C, H, W = x.shape
+    y = x.reshape(B, C, H // 2, 2, W // 2, 2)
+    return jnp.max(jnp.max(y, axis=5), axis=3)
