@@ -11,18 +11,50 @@ from __future__ import annotations
 import argparse
 import json
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
 
+TIMEOUT_S = 120.0   # first request pays the server's jit compile
+RETRIES = 3
 
-def infer(host: str, batch: np.ndarray) -> dict:
-    req = urllib.request.Request(
+
+def _request(url: str, data: bytes | None = None,
+             headers: dict | None = None,
+             timeout: float = TIMEOUT_S, retries: int = RETRIES) -> bytes:
+    """GET/POST with timeout + exponential-backoff retry on transient
+    failures (connection refused while the server warms up, 5xx, socket
+    timeouts). 4xx client errors are not retried."""
+    last: Exception | None = None
+    for attempt in range(retries + 1):
+        try:
+            req = urllib.request.Request(url, data=data,
+                                         headers=headers or {})
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return resp.read()
+        except urllib.error.HTTPError as e:
+            if e.code < 500:
+                raise
+            last = e
+        except (urllib.error.URLError, TimeoutError, OSError) as e:
+            last = e
+        if attempt < retries:
+            wait = 0.5 * 2 ** attempt
+            print(f"request failed ({last}); retry {attempt + 1}/{retries} "
+                  f"in {wait:.1f}s")
+            time.sleep(wait)
+    raise RuntimeError(f"{url} failed after {retries + 1} attempts: {last}")
+
+
+def infer(host: str, batch: np.ndarray,
+          timeout: float = TIMEOUT_S) -> dict:
+    body = _request(
         f"{host}/v1/infer", data=batch.astype(np.float32).tobytes(),
         headers={"X-Shape": ",".join(map(str, batch.shape)),
-                 "Content-Type": "application/octet-stream"})
-    with urllib.request.urlopen(req) as resp:
-        return json.loads(resp.read())
+                 "Content-Type": "application/octet-stream"},
+        timeout=timeout)
+    return json.loads(body)
 
 
 def main(argv=None):
@@ -35,8 +67,8 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args(argv)
 
-    with urllib.request.urlopen(f"{args.host}/v1/health") as r:
-        print("health:", r.read().decode())
+    print("health:", _request(f"{args.host}/v1/health",
+                              timeout=10.0).decode())
 
     if args.mode == "dummy":
         x = np.random.rand(args.batch, args.img_size, args.img_size,

@@ -31,9 +31,32 @@ def parse_args(argv=None):
                         "models/yolo.py:569-585)")
     p.add_argument("--no-fuse", action="store_true",
                    help="run the train-mode multi-branch forward")
+    p.add_argument("--fast", default=None, choices=["int8"],
+                   help="serving fast path: 'int8' calibrates on the first "
+                        "frame and runs the backbone DER blocks through the "
+                        "int8-resident Pallas kernels (the TPU analog of the "
+                        "reference's TRT int8 engines, "
+                        "deploy/triton-inference-server/README.md:13-24)")
     p.add_argument("--project", default="runs/detect")
     p.add_argument("--name", default="exp")
     return p.parse_args(argv)
+
+
+def enable_int8_fast_path(model, variables, sample_inputs) -> None:
+    """Calibrate + enable the int8 DER fast path (trace-time global).
+
+    `sample_inputs`: one or more model-input batches (letterboxed, 0-1
+    NHWC) used for activation-scale calibration. Must run BEFORE the
+    first traced forward of the function being served (jit caches are
+    not keyed on the toggle).
+    """
+    import rep_yolo_tpu.nn.blocks as blocks_lib
+    from rep_yolo_tpu.ops import quant
+
+    batches = sample_inputs if isinstance(sample_inputs, list) \
+        else [sample_inputs]
+    scales = quant.calibrate(model, variables, batches)
+    blocks_lib.set_cmajor_deploy("q8", scales)
 
 
 def load_model_and_vars(args):
@@ -99,6 +122,14 @@ def main(argv=None):
         h, w = rs.shape[:2]
         canvas = np.full((size, size, 3), 114, np.uint8)
         canvas[:h, :w] = rs
+
+        if args.fast == "int8" and n_frames == 1 and not args.no_fuse:
+            # calibrate activation scales on the first real frame, before
+            # `run`'s first trace (the toggle is trace-time)
+            cal, _, _ = letterbox_batch(jnp.asarray(canvas[None]),
+                                        jnp.asarray([[h, w]], jnp.float32),
+                                        size)
+            enable_int8_fast_path(model, variables, cal)
 
         t0 = time.perf_counter()
         det, ratio, pad = run(jnp.asarray(canvas[None]),

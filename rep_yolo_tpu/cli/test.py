@@ -33,6 +33,10 @@ def parse_args(argv=None):
     p.add_argument("--verbose", action="store_true",
                    help="per-class P/R/AP table (reference test.py:231-236)")
     p.add_argument("--no-fuse", action="store_true")
+    p.add_argument("--fast", default=None, choices=["int8"],
+                   help="serving fast path: calibrate on the first images "
+                        "and run backbone DERs through the int8-resident "
+                        "Pallas kernels (TPU analog of TRT int8 serving)")
     p.add_argument("--rect", action="store_true",
                    help="aspect-bucketed rectangular eval batches "
                         "(reference test.py:91 rect=True); one compiled "
@@ -89,6 +93,18 @@ def main(argv=None):
         return rows
 
     ds = DetectionDataset.from_path(data_path, args.img_size, args.nc)
+    if args.fast == "int8" and not args.no_fuse:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from rep_yolo_tpu.cli.detect import enable_int8_fast_path
+        from rep_yolo_tpu.data.augment import letterbox_batch
+
+        items = [ds.load_item(i) for i in range(min(8, len(ds)))]
+        cal, _, _ = letterbox_batch(
+            jnp.asarray(np.stack([it[0] for it in items])),
+            jnp.asarray(np.stack([it[1] for it in items])), args.img_size)
+        enable_int8_fast_path(model, variables, cal)
     plots_dir = None
     if args.plots_dir and args.task != "speed":   # speed mode: no plots
         from rep_yolo_tpu.utils.general import increment_path

@@ -275,11 +275,11 @@ class DetectionNet(nn.Module):
 
     def _max_pool2(self, spec, inp, train: bool):
         """Backbone MP (2x2/s2). When the producing layer is a DER block
-        running the channel-major deploy fast path, pool channel-major
-        too: the NHWC<->NCHW transposes around the pool are exact
-        inverses of the DER kernels' edge transposes, and XLA's
-        algebraic simplifier cancels the pairs — the cm region then
-        spans DER->MP->DER with no relayout between (the block-edge
+        running the channel-major bf16 deploy fast path, pool
+        channel-major too: the NHWC<->NCHW transposes around the pool
+        are exact inverses of the DER kernels' edge transposes, and
+        XLA's algebraic simplifier cancels the pairs — the cm region
+        then spans DER->MP->DER with no relayout between (the block-edge
         transposes were ~20 ms of the b32 forward, BASELINE.md)."""
         if self.deploy and not train and B.CMAJOR_DEPLOY:
             j = spec.i - 1 if spec.f[0] == -1 else spec.f[0]

@@ -187,13 +187,15 @@ class _NestedConvParams(nn.Module):
     chain: tuple
     shape: tuple
     fan_in: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         if len(self.chain) == 0:
-            return _ConvParams(self.shape, True, self.fan_in, name="w")()
+            return _ConvParams(self.shape, self.use_bias, self.fan_in,
+                               name="w")()
         return _NestedConvParams(self.chain[1:], self.shape, self.fan_in,
-                                 name=self.chain[0])()
+                                 self.use_bias, name=self.chain[0])()
 
 
 def _xla_conv_q8(x_q, w, bias, s_in, out_scale=None):
@@ -411,10 +413,38 @@ class RepSBlock(nn.Module):
         if self.k > 1:
             s = ConvUnit(self.c2, 1, self.s, 0, name="rbr_scale_conv")(x)
             out = add(out, BN(name="rbr_scale_bn")(s, train))
-        for i in range(self.num_conv_branches):
-            b = ConvUnit(self.c2, self.k, self.s, self.p,
-                         name=f"rbr_conv_{i}_conv")(x)
-            out = add(out, BN(name=f"rbr_conv_{i}_bn")(b, train))
+        if self.num_conv_branches > 1:
+            # run the N identical kxk branches as ONE output-concatenated
+            # conv: the branches are independent per output channel, so
+            # conv(x, concat_O(k_i)) == concat_O(conv(x, k_i)) exactly —
+            # but the fused conv fills N*c2 MXU lanes instead of c2
+            # (b8 train trace: the 48-out 3x3s run at 37% lane fill and
+            # are HALF the step; fusing the 2 branches doubles fill for
+            # fwd, dgrad, and wgrad in one move). Params are declared at
+            # the same paths as the per-branch ConvUnits, so checkpoints
+            # and the fuse transform are unaffected.
+            ks = [
+                _NestedConvParams(
+                    (), (self.k, self.k, self.c1, self.c2),
+                    self.c1 * self.k * self.k, use_bias=False,
+                    name=f"rbr_conv_{i}_conv")()[0]
+                for i in range(self.num_conv_branches)
+            ]
+            kcat = jnp.concatenate(ks, axis=-1)
+            dt = jnp.result_type(x, kcat)
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt), kcat.astype(dt), (self.s, self.s),
+                ((self.p, self.p), (self.p, self.p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=CONV_PRECISION)
+            for i in range(self.num_conv_branches):
+                sl = y[..., i * self.c2:(i + 1) * self.c2]
+                out = add(out, BN(name=f"rbr_conv_{i}_bn")(sl, train))
+        else:
+            for i in range(self.num_conv_branches):
+                b = ConvUnit(self.c2, self.k, self.s, self.p,
+                             name=f"rbr_conv_{i}_conv")(x)
+                out = add(out, BN(name=f"rbr_conv_{i}_bn")(b, train))
         return jax.nn.silu(out)
 
 
@@ -539,10 +569,17 @@ class DERBlock(nn.Module):
         if mode == "q8":
             # v2 flat kernels (ops/pallas/conv_flat.py): the whole block
             # runs on flat (B, C, H*W) row-major int8 with in-kernel halo
-            # handling — no XLA pads/reshapes/concat between convs
-            # (~12 ms of the 31.7 ms l1 cost at b32 was that glue).
-            # Quantize BEFORE the entry transpose so the transpose copy
-            # moves int8, not bf16 (XLA fuses quant into the copy).
+            # handling — no XLA pads/reshapes/concat between convs.
+            # (A pixel-major (B, H*W, C) formulation was built and
+            # measured dead on arrival: Mosaic tiles the custom-call
+            # operands' minor dim to 128 lanes, so thin-C pixel-major
+            # buffers pad 2.7x and every chained activation pays a pad
+            # relayout — see ops/pallas/conv_pm.py, kept for wide-C use.)
+            # Quantize BEFORE the entry transpose, behind an optimization
+            # barrier: without it XLA hoists the NHWC->NCHW transpose
+            # above the quantize and moves 157 MB of bf16 instead of
+            # 78 MB of int8 (b32 trace: 1.89 ms copy + 0.85 ms separate
+            # clamp fusion).
             from rep_yolo_tpu.ops.pallas.conv_flat import (
                 conv1x1_flat_q8, conv3x3_flat_q8)
 
@@ -550,6 +587,7 @@ class DERBlock(nn.Module):
             xq = jnp.clip(jnp.round(x.astype(jnp.float32)
                                     * (1.0 / scales["st1"])), -127, 127
                           ).astype(jnp.int8)
+            xq = jax.lax.optimization_barrier(xq)
             xf = jnp.transpose(xq, (0, 3, 1, 2)).reshape(bn, c1, hh * ww)
 
             def conv(name, h):

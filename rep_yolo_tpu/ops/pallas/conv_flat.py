@@ -157,6 +157,30 @@ def _conv3_flat_q8_kernel(x_ref, w_ref, sw_ref, b_ref, y_ref, slab, xv, *,
                                   out_scale, out_dtype)
 
 
+def _conv3_flat_q8_kernel_whole(x_ref, w_ref, sw_ref, b_ref, y_ref, slab,
+                                xv, *, C, O, TH, W, H, act, s_in,
+                                out_scale, out_dtype):
+    """Whole-image variant (H == TH): the image arrives as a VMEM block
+    (no manual DMA — small deep-stage images like 40x40 have no
+    128-multiple lane extent, so _load_slab's aligned copies cannot
+    express them; vector writes have no such constraint)."""
+    db = _data_base(W)
+    if x_ref.dtype == jnp.int8:
+        xq = x_ref[0]
+    else:
+        xq = jnp.clip(jnp.round(x_ref[0].astype(jnp.float32)
+                                * (1.0 / s_in)), -127, 127).astype(jnp.int8)
+    zero = jnp.zeros((C, W), jnp.int8)
+    slab[:, pl.ds(db, W)] = zero                       # top halo row
+    slab[:, pl.ds(db + W, TH * W)] = xq
+    slab[:, pl.ds(db + (TH + 1) * W, W)] = zero        # bottom halo row
+    _im2col_taps(slab[:, :], xv, C=C, TH=TH, W=W)
+    acc = jnp.dot(w_ref[:, :], xv[:, :],
+                  preferred_element_type=jnp.int32)
+    y_ref[0, :, :] = _q8_epilogue(acc, sw_ref, b_ref, s_in, act,
+                                  out_scale, out_dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("H", "W", "s_in", "act",
                                              "out_scale", "row_tile"))
 def conv3x3_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
@@ -185,14 +209,28 @@ def conv3x3_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
     b2 = bias.reshape(O, 1).astype(jnp.float32)
 
     out_dtype = jnp.int8 if out_scale is not None else jnp.bfloat16
-    kernel = functools.partial(
-        _conv3_flat_q8_kernel, C=C, O=O, TH=TH, W=W, H=H, act=act,
-        s_in=float(s_in), out_scale=out_scale, out_dtype=out_dtype)
+    whole = H // TH == 1 and (TH * W) % 128 != 0
+    if whole:
+        # small deep-stage images (e.g. 40x40): no 128-aligned DMA
+        # exists; feed the whole image as a VMEM block instead
+        kernel = functools.partial(
+            _conv3_flat_q8_kernel_whole, C=C, O=O, TH=TH, W=W, H=H,
+            act=act, s_in=float(s_in), out_scale=out_scale,
+            out_dtype=out_dtype)
+        x_spec = pl.BlockSpec((1, C, H * W), lambda b, i: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+        slab_dtype = jnp.int8
+    else:
+        kernel = functools.partial(
+            _conv3_flat_q8_kernel, C=C, O=O, TH=TH, W=W, H=H, act=act,
+            s_in=float(s_in), out_scale=out_scale, out_dtype=out_dtype)
+        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # x stays in HBM
+        slab_dtype = x.dtype
     return pl.pallas_call(
         kernel,
         grid=(B, H // TH),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),        # x stays in HBM
+            x_spec,
             pl.BlockSpec((O, KP), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((O, 1), lambda b, i: (0, 0),
@@ -206,7 +244,7 @@ def conv3x3_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
         scratch_shapes=[
             # +256 right guard: DMA round-up slack plus the (u=2, v=2)
             # tap's one-lane overread (masked out by the right_edge select)
-            pltpu.VMEM((C, _data_base(W) + (TH + 2) * W + 256), x.dtype),
+            pltpu.VMEM((C, _data_base(W) + (TH + 2) * W + 256), slab_dtype),
             pltpu.VMEM((KP, TH * W), jnp.int8),
         ],
         interpret=jax.default_backend() != "tpu",
@@ -262,9 +300,11 @@ def conv1x1_flat_q8(x, w: jax.Array, bias: jax.Array, s_in: float,
     assert off == w2.shape[0], (off, w2.shape)
     b2 = bias.reshape(O, 1).astype(jnp.float32)
 
-    # pick a tile from the flat length: factor HW into (h, w)-ish rows
-    TH = row_tile or _flat_tile(HW)
     out_dtype = jnp.int8 if out_scale is not None else jnp.bfloat16
+    # VMEM bytes per output lane: int8 input sections + the output block
+    bpl = sum(xi.shape[1] * xi.dtype.itemsize for xi in xs)
+    bpl += O * (1 if out_dtype == jnp.int8 else 2)
+    TH = row_tile or _flat_tile(HW, bytes_per_lane=bpl)
     kernel = functools.partial(
         _conv1_flat_q8_kernel, n_in=len(xs), act=act, s_in=float(s_in),
         out_scale=out_scale, out_dtype=out_dtype)
@@ -287,14 +327,23 @@ def conv1x1_flat_q8(x, w: jax.Array, bias: jax.Array, s_in: float,
     )(*xs, *splits, s_w, b2)
 
 
-def _flat_tile(hw: int, cap_lanes: int = 128 * 64) -> int:
-    """Largest 128-multiple divisor of the flat length <= cap."""
-    t = 128
-    for cand in range(cap_lanes, 127, -128):
+def _flat_tile(hw: int, bytes_per_lane: int = 64,
+               vmem_budget: int = 2 << 20) -> int:
+    """Lane tile for a 1x1 conv over a flat (B, C, HW) activation: the
+    largest 128-multiple divisor of `hw` whose VMEM-resident blocks
+    (input sections + output, `bytes_per_lane` bytes per lane) fit the
+    budget. The budget is per buffer-set: Mosaic double-buffers every
+    grid-indexed block and materializes the dequant temporaries, so the
+    true VMEM footprint is ~4x this figure — 2 MB keeps the kernel
+    safely inside the 16 MB scoped limit. When no 128-multiple divides
+    `hw` (e.g. 40*40 = 1600), fall back to the whole array (block dim ==
+    array dim is always legal for Mosaic) — truncating the grid would
+    silently drop output lanes."""
+    cap = max(128, (vmem_budget // max(bytes_per_lane, 1)) // 128 * 128)
+    for cand in range(min(cap, hw // 128 * 128), 127, -128):
         if hw % cand == 0:
-            t = cand
-            break
-    return t
+            return cand
+    return hw
 
 
 def max_pool_cm(x: jax.Array) -> jax.Array:

@@ -6,12 +6,18 @@ Usage: python tools/kernel_bench_flat.py [batch]
 
 from __future__ import annotations
 
+import os
 import pathlib
 import statistics
 import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+# register the CPU backend alongside the pinned axon TPU
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat.split(","):
+    os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
 
 import jax
 import jax.numpy as jnp
@@ -73,6 +79,12 @@ def main():
             xc, w, bias, s, H, W, out_scale=s).sum(
                 dtype=jnp.int32).astype(jnp.float32),
             xf, f"v2 flat q8 {tag} (chained)")
+        for rt in (32,):
+            if H % rt == 0 and (rt * W) % 128 == 0:
+                slope(lambda xc, rt=rt: conv3x3_flat_q8(
+                    xc, w, bias, s, H, W, out_scale=s, row_tile=rt).sum(
+                        dtype=jnp.int32).astype(jnp.float32),
+                    xf, f"v2 flat q8 {tag} rt={rt}")
 
     # 1x1 concat->cv1: v1 = concat + kernel; v2 = 3-ref kernel. The three
     # sections travel as ONE stacked loop-carried array so they don't get

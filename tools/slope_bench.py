@@ -15,12 +15,20 @@ tools/trace_rollup.py.
 
 from __future__ import annotations
 
+import os
 import pathlib
 import statistics
 import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+# this box pins JAX_PLATFORMS=axon (TPU), which leaves the CPU backend
+# unregistered — but build() inits/fuses weights on CPU (eager init over
+# the tunneled TPU is pathologically slow). Register both.
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat.split(","):
+    os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
 
 import jax
 import jax.numpy as jnp
@@ -87,6 +95,9 @@ def main():
                    choices=["bf16", "q8", "xla_q8"],
                    help="DER deploy fast path (blocks.set_cmajor_deploy); "
                         "q8 modes calibrate on one random batch first")
+    p.add_argument("--der-max-c1", type=int, default=64,
+                   help="channel-width gate for the DER fast path "
+                        "(c1 <= this); 512 = whole backbone channel-major")
     p.add_argument("--trace", default=None, metavar="DIR")
     opts = p.parse_args()
     batch = opts.batch
@@ -106,7 +117,9 @@ def main():
                 jax.devices()[0])
             scales = quant.calibrate(deploy, fused, [xs])
             print(f"calibrated {len(scales)} convs", flush=True)
-        blocks_lib.set_cmajor_deploy(opts.der_fast, scales)
+        c1_max = opts.der_max_c1
+        blocks_lib.set_cmajor_deploy(opts.der_fast, scales,
+                                     select=lambda c1, h, w: c1 <= c1_max)
 
     def fwd(v, xc):
         out = deploy.apply(v, xc, train=False)
