@@ -161,20 +161,37 @@ def set_cmajor_deploy(mode: str | None, scales: dict[str, float] | None = None,
 
 _CMAJOR_SELECT = lambda c1, h, w: c1 <= 64
 
-# Trace-time flag: route thin 3x3/s1 convs through the Pallas wgrad
-# kernel in the backward (ops/pallas/wgrad_kernel.py — XLA runs their
+# Trace-time flag: route 3x3/s1 convs through the Pallas wgrad kernel
+# in the backward (ops/pallas/wgrad_kernel.py — XLA runs thin-conv
 # weight gradients at ~4 TF/s, see BASELINE.md training table). Same
 # before-first-trace contract as CONV_PRECISION.
+#
+# Hardware constraint (round 3): Mosaic tiles manual-DMA memrefs to
+# (8, 128), so the kernel's x-slab DMA is only legal when the channel
+# (lane) dim is a 128-multiple — the thin 24/48/64-channel convs it was
+# written for CANNOT run it on a real TPU (interpret mode has no such
+# constraint, which is how the kernel's parity tests pass). The default
+# select therefore requires c1 % 128 == 0 on TPU; the thin-conv training
+# cost is attacked structurally instead (RepSBlock branch-concat).
 WGRAD_PALLAS = False
-_WGRAD_SELECT = lambda c1, c2: c1 <= 64 and c2 <= 64
+
+
+def _wgrad_default_select(c1: int, c2: int) -> bool:
+    if jax.default_backend() == "tpu":
+        return c1 % 128 == 0 and c1 <= 256
+    return c1 <= 64 and c2 <= 64
+
+
+_WGRAD_SELECT = _wgrad_default_select
 
 
 def set_pallas_wgrad(enable: bool, select=None) -> None:
     """Enable the Pallas weight-gradient backward for 3x3 stride-1
-    ungrouped convs passing `select(c1, c2)` (default: thin, <=64ch)."""
+    ungrouped convs passing `select(c1, c2)` (default: see
+    _wgrad_default_select and the Mosaic DMA note above)."""
     global WGRAD_PALLAS, _WGRAD_SELECT
     WGRAD_PALLAS = bool(enable)
-    _WGRAD_SELECT = select or (lambda c1, c2: c1 <= 64 and c2 <= 64)
+    _WGRAD_SELECT = select or _wgrad_default_select
 
 
 class _NestedConvParams(nn.Module):

@@ -96,9 +96,14 @@ def wgrad3x3_nhwc(x: jax.Array, dy: jax.Array,
     while H % TH:
         TH -= 1
     WP = W + 2
-    # X: 1 left / 3 right zero columns, 1 top / 1 bottom zero rows;
+    # X: 1 left / >=3 right zero columns, 1 top / 1 bottom zero rows;
     # dY: 2 right zero columns. See module docstring for the algebra.
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 3), (0, 0)))
+    # X's padded width is rounded up to a multiple of 8: the slab DMA
+    # slices the row dim of the (B, H+2, Wpad, C) memref, and Mosaic
+    # requires the resulting second-minor extent to be 8-aligned (the
+    # extra columns sit beyond every tap's reach, so they are inert).
+    wpad = -(-(W + 4) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wpad - W - 1), (0, 0)))
     dyp = jnp.pad(dy, ((0, 0), (0, 0), (0, 2), (0, 0)))
 
     grid = (B, H // TH)
@@ -111,7 +116,7 @@ def wgrad3x3_nhwc(x: jax.Array, dy: jax.Array,
         ],
         out_specs=pl.BlockSpec((9 * C, O), lambda b, i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((9 * C, O), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TH + 2, WP + 2, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((TH + 2, wpad, C), x.dtype),
                         pltpu.VMEM((9 * C, O), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
     )(xp, dyp)

@@ -300,11 +300,22 @@ def _ota_match(targets, tmask, cands: Sequence[Candidates],
     INF = 1e9
     cost = jnp.where(pair_mask, cost, INF)
 
-    # rank-based dynamic-k selection: candidate j matched to gt i iff its
-    # cost rank within row i is < k_i (exact topk(largest=False) semantics).
-    order = jnp.argsort(cost, axis=-1)                          # (B,M,C)
-    ranks = jnp.argsort(order, axis=-1)
-    matching = (ranks < dynamic_ks[..., None]) & pair_mask      # (B,M,C)
+    # dynamic-k selection: candidate j matched to gt i iff its cost is
+    # among the k_i smallest of row i (reference topk(largest=False)
+    # semantics, utils/loss.py:749-751). k_i <= k_top (it is a clipped
+    # sum of k_top IoUs), so one k_top-wide top_k of the negated costs
+    # replaces the double argsort over the full (B, M, C) cost — the b8
+    # train trace showed those sorts at ~10 ms/step. The selected
+    # *indices* are scattered (broadcast-compare) rather than a cost
+    # threshold applied: equal costs are common in f32 (adjacent cells
+    # of the same anchor), and top_k's lowest-index tie-break preserves
+    # the exact rank semantics where a threshold would over-match.
+    _, sel_idx = jax.lax.top_k(-cost, k_top)                    # (B,M,k)
+    sel_on = jnp.arange(k_top)[None, None, :] < dynamic_ks[..., None]
+    matching = jnp.any(
+        (sel_idx[..., None] == jnp.arange(C)[None, None, None, :])
+        & sel_on[..., None], axis=-2)                           # (B,M,C)
+    matching = matching & pair_mask
 
     # conflict resolution (reference :757-761): candidates matched to >1 gt
     # keep only their argmin-cost gt.
