@@ -175,26 +175,31 @@ def _inner() -> None:
         one = partial(shard_map, mesh=mesh, in_specs=(P(), P("data")),
                       out_specs=P("data"), check_rep=False)(one)
 
-    @jax.jit
-    def infer_loop(v, x, n_iters):
-        # All iterations inside ONE device program (fori_loop with a
-        # *dynamic* bound, so every iteration count reuses one executable)
-        # with a true data dependency between steps, so neither a lazy
-        # runtime nor XLA simplification can elide repeated executions.
-        def body(_, carry):
-            xc, acc = carry
-            det = one(v, xc)
-            s = det.scores.sum() + acc
-            xc = xc + (s * 1e-24).astype(xc.dtype)  # real dependency, ~0
-            return (xc, s)
+    def make_infer_loop():
+        # fresh jit per DER-fast-path mode: the mode is a trace-time
+        # global, and jit caches are not keyed on it
+        @jax.jit
+        def infer_loop(v, x, n_iters):
+            # All iterations inside ONE device program (fori_loop with a
+            # *dynamic* bound, so every iteration count reuses one
+            # executable) with a true data dependency between steps, so
+            # neither a lazy runtime nor XLA simplification can elide
+            # repeated executions.
+            def body(_, carry):
+                xc, acc = carry
+                det = one(v, xc)
+                s = det.scores.sum() + acc
+                xc = xc + (s * 1e-24).astype(xc.dtype)  # ~0, real dep
+                return (xc, s)
 
-        _, acc = jax.lax.fori_loop(0, n_iters, body,
-                                   (x, jnp.float32(0.0)))
-        return acc
+            _, acc = jax.lax.fori_loop(0, n_iters, body,
+                                       (x, jnp.float32(0.0)))
+            return acc
+        return infer_loop
 
     import statistics
 
-    def measure(per_chip_batch: int) -> float:
+    def measure(per_chip_batch: int, infer_loop) -> float:
         batch = per_chip_batch * n_chips   # keep per-chip batch constant
         x = jax.device_put(
             jax.random.uniform(jax.random.PRNGKey(1),
@@ -214,13 +219,36 @@ def _inner() -> None:
         dt = max((t_2n - t_n) / ITERS, 1e-9)
         return batch / dt / n_chips
 
-    # both operating points: b128 (throughput sweet spot) and b32 (the
-    # north-star target config, BASELINE.json)
-    img_s_b128 = measure(BATCH)
-    img_s_b32 = measure(32)
+    # operating points: b128 (throughput sweet spot) and b32 (the
+    # north-star target config, BASELINE.json). b128 runs XLA bf16 (the
+    # int8 DER kernels lose there: XLA's big-batch convs amortize
+    # better); b32 additionally runs the calibrated int8-resident Pallas
+    # DER fast path, which wins at small batch (BASELINE.md) — the same
+    # engine-per-operating-point split TRT serving does.
+    loop_bf16 = make_infer_loop()
+    img_s_b128 = measure(BATCH, loop_bf16)
+    img_s_b32 = measure(32, loop_bf16)
+    b32_mode = "bf16"
+    try:
+        from rep_yolo_tpu.ops import quant
+
+        cal = jax.device_put(
+            jax.random.uniform(jax.random.PRNGKey(2),
+                               (2, SIZE, SIZE, 3), jnp.bfloat16),
+            jax.devices()[0])
+        scales = quant.calibrate(deploy, fused, [cal])
+        blocks_lib.set_cmajor_deploy("q8", scales)
+        img_s_b32_q8 = measure(32, make_infer_loop())
+        if img_s_b32_q8 > img_s_b32:
+            img_s_b32, b32_mode = img_s_b32_q8, "q8"
+    except Exception as e:   # never lose the bf16 numbers to a q8 failure
+        b32_mode = f"bf16 (q8 failed: {type(e).__name__})"
+    finally:
+        blocks_lib.set_cmajor_deploy(None)
     _emit(round(img_s_b128, 1), round(img_s_b128 / BASELINE_IMG_S, 3),
           {"b32_img_s": round(img_s_b32, 1),
-           "b32_vs_baseline": round(img_s_b32 / BASELINE_IMG_S, 3)})
+           "b32_vs_baseline": round(img_s_b32 / BASELINE_IMG_S, 3),
+           "b32_mode": b32_mode})
 
 
 if __name__ == "__main__":
