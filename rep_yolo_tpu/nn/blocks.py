@@ -97,6 +97,31 @@ def _act(name: str | None, x: jax.Array) -> jax.Array:
     raise ValueError(f"unknown activation {name!r}")
 
 
+def _s2d_stride2_conv(x: jax.Array, kern: jax.Array,
+                      precision) -> jax.Array:
+    """Exact stride-2 3x3 conv via space-to-depth: fold each 2x2 pixel
+    block into channels (c1 -> 4*c1) and run a 2x2 stride-1 conv with the
+    9 taps scattered over the (kernel position, phase) lattice. For the
+    3-channel stem this turns a K=27 contraction (21% MXU row fill) into
+    K=48 over a quarter of the positions. Derivation: output row taps
+    r = 2i+di-1 map to s2d coords (a, p) with a = i-1+a'; (a', p) -> di
+    is (0,1)->0, (1,0)->1, (1,1)->2 and (0,0) empty, so pad=((1,0),(1,0))
+    with a 2x2 VALID conv reproduces the stride-2 'same' conv exactly."""
+    B, H, W, C = x.shape
+    O = kern.shape[-1]
+    dt = jnp.result_type(x, kern)
+    xs = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    xs = xs.reshape(B, H // 2, W // 2, 4 * C)
+    w2 = jnp.zeros((2, 2, 4 * C, O), kern.dtype)
+    for ap, pph, di in ((0, 1, 0), (1, 0, 1), (1, 1, 2)):
+        for bq, qph, dj in ((0, 1, 0), (1, 0, 1), (1, 1, 2)):
+            ch = (pph * 2 + qph) * C
+            w2 = w2.at[ap, bq, ch:ch + C].set(kern[di, dj])
+    return jax.lax.conv_general_dilated(
+        xs.astype(dt), w2.astype(dt), (1, 1), ((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+
+
 def max_pool(x: jax.Array, k: int, s: int, p: int = 0) -> jax.Array:
     """NHWC max pool, torch semantics (floor mode, -inf padding)."""
     pad = ((0, 0), (p, p), (p, p), (0, 0))
@@ -271,6 +296,12 @@ class ConvUnit(nn.Module):
         s_in = quant.scale_for(path, self.k, c1, self.c2, self.g)
         if s_in is not None:
             y = quant.quant_conv(x, kern, s_in, self.s, p)
+        elif (self.k == 3 and self.s == 2 and p == 1 and self.g == 1
+                and c1 <= 8 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            # thin-channel stride-2 stem (K = 9*c1 = 27 at c1=3 badly
+            # underfills the MXU contraction rows; measured 3.9 ms of the
+            # b32 deploy forward): exact space-to-depth decomposition
+            y = _s2d_stride2_conv(x, kern, CONV_PRECISION)
         elif (WGRAD_PALLAS and self.k == 3 and self.s == 1 and p == 1
                 and self.g == 1 and _WGRAD_SELECT(c1, self.c2)):
             from rep_yolo_tpu.ops.pallas.wgrad_kernel import \

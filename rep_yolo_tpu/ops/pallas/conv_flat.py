@@ -62,40 +62,32 @@ def _data_base(W: int) -> int:
     return _PAD + (-W) % 128
 
 
-def _load_slab(x_ref, slab, b, i, *, C, TH, W, H):
-    """One contiguous aligned DMA of rows [i*TH-1, i*TH+TH] into slab
-    lanes [_data_base, _data_base+(TH+2)*W); edge tiles memset the
-    missing halo row. All DMA starts/sizes are 128-aligned by
-    construction (see _data_base)."""
+def _slab_dma(x_ref, slab, sem, b, i, *, C, TH, W, H, wait: bool):
+    """Start (wait=False) or wait on (wait=True) the aligned slab DMA of
+    rows [i*TH-1, i*TH+TH] into slab lanes [_data_base,
+    _data_base+(TH+2)*W). The wait side reconstructs the IDENTICAL
+    descriptor (same (b, i) -> same pl.when case -> same static size),
+    which is the Pallas idiom for cross-grid-step async copies. All DMA
+    starts/sizes are 128-lane aligned by construction (see _data_base)."""
     n_tiles = H // TH
     off = (-W) % 128
     db = _PAD + off
 
-    def copy(src_lane0, size, dst_lane0, sem):
+    def copy(src_lane0, size, dst_lane0):
         cp = pltpu.make_async_copy(
             x_ref.at[b, :, pl.ds(src_lane0, size)],
             slab.at[:, pl.ds(dst_lane0, size)], sem)
-        cp.start()
-        cp.wait()
-
-    def zero_row(r):
-        slab[:, pl.ds(db + r * W, W)] = jnp.zeros((C, W), slab.dtype)
+        cp.wait() if wait else cp.start()
 
     if n_tiles == 1:
-        zero_row(0)
-        zero_row(TH + 1)
         # image rows 0..TH-1 land at tile rows 1..TH; src start 0 and
         # size TH*W are aligned; dst db+W is aligned (off+W = rnd128(W))
-        pl.run_scoped(functools.partial(copy, 0, TH * W, db + W),
-                      pltpu.SemaphoreType.DMA(()))
+        copy(0, TH * W, db + W)
         return
 
     @pl.when(i == 0)
     def _first():
-        zero_row(0)
-        size0 = _round_up((TH + 1) * W, 128)
-        pl.run_scoped(functools.partial(copy, 0, size0, db + W),
-                      pltpu.SemaphoreType.DMA(()))
+        copy(0, _round_up((TH + 1) * W, 128), db + W)
 
     # src start (i*TH-1)*W - off as an explicit multiple of 128 so
     # Mosaic's divisibility prover accepts the dynamic slice offset
@@ -105,17 +97,47 @@ def _load_slab(x_ref, slab, b, i, *, C, TH, W, H):
 
     @pl.when(i == n_tiles - 1)
     def _last():
-        zero_row(TH + 1)
         # exactly (TH+1)*W + off lanes: ends at H*W — aligned, no overrun
-        def go(sem):
-            copy(src0(i), (TH + 1) * W + off, _PAD, sem)
-        pl.run_scoped(go, pltpu.SemaphoreType.DMA(()))
+        copy(src0(i), (TH + 1) * W + off, _PAD)
 
     @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
     def _interior():
-        def go(sem):
-            copy(src0(i), _round_up((TH + 2) * W + off, 128), _PAD, sem)
-        pl.run_scoped(go, pltpu.SemaphoreType.DMA(()))
+        copy(src0(i), _round_up((TH + 2) * W + off, 128), _PAD)
+
+
+def _zero_halo(slab, i, *, C, TH, W, H):
+    """Memset the missing halo row(s) of edge tiles. Disjoint from every
+    DMA destination range of the same tile, so it is safe to run while
+    that tile's slab DMA is in flight."""
+    n_tiles = H // TH
+    db = _data_base(W)
+
+    def zero_row(r):
+        slab[:, pl.ds(db + r * W, W)] = jnp.zeros((C, W), slab.dtype)
+
+    if n_tiles == 1:
+        zero_row(0)
+        zero_row(TH + 1)
+        return
+
+    @pl.when(i == 0)
+    def _first():
+        zero_row(0)
+
+    @pl.when(i == n_tiles - 1)
+    def _last():
+        zero_row(TH + 1)
+
+
+def _load_slab(x_ref, slab, b, i, *, C, TH, W, H):
+    """Synchronous slab load (start + wait in one grid step)."""
+    _zero_halo(slab, i, C=C, TH=TH, W=W, H=H)
+
+    def go(sem):
+        _slab_dma(x_ref, slab, sem, b, i, C=C, TH=TH, W=W, H=H, wait=False)
+        _slab_dma(x_ref, slab, sem, b, i, C=C, TH=TH, W=W, H=H, wait=True)
+
+    pl.run_scoped(go, pltpu.SemaphoreType.DMA(()))
 
 
 def _im2col_taps(slab_q, xv, *, C, TH, W):
@@ -155,6 +177,69 @@ def _conv3_flat_q8_kernel(x_ref, w_ref, sw_ref, b_ref, y_ref, slab, xv, *,
                   preferred_element_type=jnp.int32)          # (O, TH*W)
     y_ref[0, :, :] = _q8_epilogue(acc, sw_ref, b_ref, s_in, act,
                                   out_scale, out_dtype)
+
+
+def _conv3_flat_q8_kernel_pipe(x_ref, w_ref, sw_ref, b_ref, y_ref,
+                               slab_a, slab_b, xv, sem_a, sem_b, *,
+                               B, C, O, TH, W, H, act, s_in, out_scale,
+                               out_dtype):
+    """Software-pipelined variant: grid (B, n_tiles//2, 2). Each (b, j)
+    pair covers tiles 2j (phase h=0, slab A) and 2j+1 (h=1, slab B); the
+    NEXT tile's slab DMA is always started before the current tile's
+    compute, so the HBM read of tile n+1 overlaps the im2col+dot of tile
+    n (the sync kernel serialized them: start -> wait -> dot per step,
+    round-3 trace: 2.53 ms vs ~0.9 fill-adjusted roofline on the l1 st
+    shapes). Both slab refs are static — the A/B alternation lives in the
+    grid's phase dimension, not in a dynamically indexed buffer."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    h = pl.program_id(2)
+    n_tiles = H // TH
+    n_pairs = n_tiles // 2
+
+    def issue(slab, sem, bb, ii):
+        _zero_halo(slab, ii, C=C, TH=TH, W=W, H=H)
+        _slab_dma(x_ref, slab, sem, bb, ii, C=C, TH=TH, W=W, H=H,
+                  wait=False)
+
+    def compute(slab):
+        if slab.dtype == jnp.int8:
+            slab_q = slab[:, :]
+        else:
+            slab_q = jnp.clip(jnp.round(slab[:, :].astype(jnp.float32)
+                                        * (1.0 / s_in)), -127, 127
+                              ).astype(jnp.int8)
+        _im2col_taps(slab_q, xv, C=C, TH=TH, W=W)
+        acc = jnp.dot(w_ref[:, :], xv[:, :],
+                      preferred_element_type=jnp.int32)      # (O, TH*W)
+        y_ref[0, :, :] = _q8_epilogue(acc, sw_ref, b_ref, s_in, act,
+                                      out_scale, out_dtype)
+
+    @pl.when(h == 0)
+    def _phase_a():
+        @pl.when(jnp.logical_and(b == 0, j == 0))
+        def _prologue():
+            issue(slab_a, sem_a, 0, 0)
+
+        issue(slab_b, sem_b, b, 2 * j + 1)        # overlaps compute(A)
+        _slab_dma(x_ref, slab_a, sem_a, b, 2 * j, C=C, TH=TH, W=W, H=H,
+                  wait=True)
+        compute(slab_a)
+
+    @pl.when(h == 1)
+    def _phase_b():
+        # prefetch the next pair's A tile (possibly the next image);
+        # slab A's last read finished in phase h=0 of this same pair
+        @pl.when(b * n_pairs + j + 1 < B * n_pairs)
+        def _prefetch():
+            roll = j + 1 >= n_pairs
+            nb = jnp.where(roll, b + 1, b)
+            ni = jnp.where(roll, 0, 2 * j + 2)
+            issue(slab_a, sem_a, nb, ni)
+
+        _slab_dma(x_ref, slab_b, sem_b, b, 2 * j + 1, C=C, TH=TH, W=W,
+                  H=H, wait=True)
+        compute(slab_b)
 
 
 def _conv3_flat_q8_kernel_whole(x_ref, w_ref, sw_ref, b_ref, y_ref, slab,
@@ -208,8 +293,26 @@ def conv3x3_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
         w_q = jnp.pad(w_q, ((0, 0), (0, KP - 9 * C)))
     b2 = bias.reshape(O, 1).astype(jnp.float32)
 
+    # the pipelined kernel needs an even tile count: shrink TH if that
+    # buys one (e.g. 80x80: TH 16 -> 8 turns 5 tiles into 10)
+    if row_tile is None and (H // TH) % 2 == 1 and H // TH > 1:
+        for t in range(TH - 1, 0, -1):
+            if H % t == 0 and (t * W) % 128 == 0 and (H // t) % 2 == 0:
+                TH = t
+                break
+
     out_dtype = jnp.int8 if out_scale is not None else jnp.bfloat16
-    whole = H // TH == 1 and (TH * W) % 128 != 0
+    n_tiles = H // TH
+    whole = n_tiles == 1 and (TH * W) % 128 != 0
+    interpret = jax.default_backend() != "tpu"
+    # +256 right guard: DMA round-up slack plus the (u=2, v=2) tap's
+    # one-lane overread (masked out by the right_edge select)
+    slab_shape = (C, _data_base(W) + (TH + 2) * W + 256)
+    w_specs = [
+        pl.BlockSpec((O, KP), lambda *g: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((O, 1), lambda *g: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((O, 1), lambda *g: (0, 0), memory_space=pltpu.VMEM),
+    ]
     if whole:
         # small deep-stage images (e.g. 40x40): no 128-aligned DMA
         # exists; feed the whole image as a VMEM block instead
@@ -217,37 +320,58 @@ def conv3x3_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
             _conv3_flat_q8_kernel_whole, C=C, O=O, TH=TH, W=W, H=H,
             act=act, s_in=float(s_in), out_scale=out_scale,
             out_dtype=out_dtype)
-        x_spec = pl.BlockSpec((1, C, H * W), lambda b, i: (b, 0, 0),
-                              memory_space=pltpu.VMEM)
-        slab_dtype = jnp.int8
-    else:
+        return pl.pallas_call(
+            kernel,
+            grid=(B, 1),
+            in_specs=[pl.BlockSpec((1, C, H * W), lambda b, i: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)] + w_specs,
+            out_specs=pl.BlockSpec((1, O, TH * W), lambda b, i: (b, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, O, H * W), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM(slab_shape, jnp.int8),
+                pltpu.VMEM((KP, TH * W), jnp.int8),
+            ],
+            interpret=interpret,
+        )(x, w_q, s_w, b2)
+    if n_tiles % 2 == 0:
+        # double-buffered: tile n+1's HBM read overlaps tile n's dot
         kernel = functools.partial(
-            _conv3_flat_q8_kernel, C=C, O=O, TH=TH, W=W, H=H, act=act,
-            s_in=float(s_in), out_scale=out_scale, out_dtype=out_dtype)
-        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # x stays in HBM
-        slab_dtype = x.dtype
+            _conv3_flat_q8_kernel_pipe, B=B, C=C, O=O, TH=TH, W=W, H=H,
+            act=act, s_in=float(s_in), out_scale=out_scale,
+            out_dtype=out_dtype)
+        return pl.pallas_call(
+            kernel,
+            grid=(B, n_tiles // 2, 2),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + w_specs,
+            out_specs=pl.BlockSpec((1, O, TH * W),
+                                   lambda b, j, h: (b, 0, 2 * j + h),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, O, H * W), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM(slab_shape, x.dtype),
+                pltpu.VMEM(slab_shape, x.dtype),
+                pltpu.VMEM((KP, TH * W), jnp.int8),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(x, w_q, s_w, b2)
+    kernel = functools.partial(
+        _conv3_flat_q8_kernel, C=C, O=O, TH=TH, W=W, H=H, act=act,
+        s_in=float(s_in), out_scale=out_scale, out_dtype=out_dtype)
     return pl.pallas_call(
         kernel,
-        grid=(B, H // TH),
-        in_specs=[
-            x_spec,
-            pl.BlockSpec((O, KP), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((O, 1), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((O, 1), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid=(B, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + w_specs,
         out_specs=pl.BlockSpec((1, O, TH * W), lambda b, i: (b, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, O, H * W), out_dtype),
         scratch_shapes=[
-            # +256 right guard: DMA round-up slack plus the (u=2, v=2)
-            # tap's one-lane overread (masked out by the right_edge select)
-            pltpu.VMEM((C, _data_base(W) + (TH + 2) * W + 256), slab_dtype),
+            pltpu.VMEM(slab_shape, x.dtype),
             pltpu.VMEM((KP, TH * W), jnp.int8),
         ],
-        interpret=jax.default_backend() != "tpu",
+        interpret=interpret,
     )(x, w_q, s_w, b2)
 
 

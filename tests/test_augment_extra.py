@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rep_yolo_tpu.data.augment import (
     AugmentConfig, augment_batch, cutout, paste_in)
@@ -22,7 +23,9 @@ def _batch(B=4, S=64, M=8, seed=0):
             jnp.asarray(mask))
 
 
+@pytest.mark.slow
 def test_augment_batch_with_mosaic9_and_pastein():
+    # ~65 s warm: jits the full mosaic9+paste_in+cutout augment program
     imgs, hw, labels, mask = _batch()
     cfg = AugmentConfig(img_size=64, mosaic9=0.5, paste_in=0.5,
                         cutout=0.3, max_labels=16)

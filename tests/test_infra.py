@@ -19,7 +19,9 @@ sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
 CFG = "cfg/rep_yolo_tiny_test.yaml"
 
 
+@pytest.mark.slow
 def test_serving_end_to_end():
+    # ~80 s warm: builds the serving engine (fuse + jit) inside the test
     import client as client_mod
     import server as server_mod
 

@@ -4,13 +4,16 @@ gradients flow (train mode with BN + dropout)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rep_yolo_tpu.models.model import RepYOLO
 
 CFG = "cfg/rep_yolo_tiny_test.yaml"
 
 
+@pytest.mark.slow
 def test_remat_param_tree_and_forward_identical():
+    # ~90 s warm: two full graph builds + two eval-mode jit traces
     m0 = RepYOLO.from_config(CFG)
     m1 = RepYOLO.from_config(CFG, remat=True)
     v0 = m0.init(jax.random.PRNGKey(0), img_size=64)
@@ -24,7 +27,9 @@ def test_remat_param_tree_and_forward_identical():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_remat_gradients_finite():
+    # ~90 s warm: train-mode grad trace through every remat boundary
     m = RepYOLO.from_config(CFG, remat=True)
     v = m.init(jax.random.PRNGKey(0), img_size=64)
     x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))

@@ -10,10 +10,10 @@ import pytest
 from rep_yolo_tpu.models.model import RepYOLO
 
 
-def test_full_model_fuse_equivalence():
-    model = RepYOLO.from_config("cfg/rep_yolo.yaml")
+def _fuse_equivalence(cfg: str, img_size: int):
+    model = RepYOLO.from_config(cfg)
     rng = jax.random.PRNGKey(42)
-    variables = model.init(rng, img_size=128)
+    variables = model.init(rng, img_size=img_size)
     # randomize BN stats so folding is non-trivial
     def jitter(path, x):
         name = path[-1].key
@@ -29,9 +29,40 @@ def test_full_model_fuse_equivalence():
             jitter, variables["batch_stats"]),
     }
 
-    x = jax.random.uniform(jax.random.PRNGKey(7), (1, 128, 128, 3))
+    x = jax.random.uniform(jax.random.PRNGKey(7), (1, img_size, img_size, 3))
     z_train = model.predict(variables, x)
     deploy, fused = model.fuse(variables)
     z_deploy = deploy.predict(fused, x)
     np.testing.assert_allclose(np.asarray(z_deploy), np.asarray(z_train),
                                rtol=5e-3, atol=2e-2)
+
+
+def test_tiny_model_fuse_equivalence():
+    """Fast-suite guard: same property on the reduced test graph (same
+    block vocabulary as the flagship — RepS/DER/GSConv/SPPCSPC/CCVA/...)."""
+    _fuse_equivalence("cfg/rep_yolo_tiny_test.yaml", 64)
+
+
+@pytest.mark.slow
+def test_full_model_fuse_equivalence():
+    """Full 66-layer flagship graph (207 s warm on the 1-core CPU —
+    trace-bound, so it lives in the slow suite)."""
+    _fuse_equivalence("cfg/rep_yolo.yaml", 128)
+
+
+def test_s2d_stride2_conv_exact():
+    """The thin-channel stride-2 stem decomposition (space-to-depth +
+    2x2 conv, nn/blocks._s2d_stride2_conv) is exact vs the direct
+    stride-2 3x3 'same' conv for every geometry ConvUnit routes to it."""
+    from rep_yolo_tpu.nn.blocks import _s2d_stride2_conv
+
+    for C, O, H, W in [(3, 48, 64, 64), (3, 48, 32, 96), (8, 16, 16, 16)]:
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, H, W, C)) * 2 - 1
+        w = jax.random.uniform(jax.random.PRNGKey(1), (3, 3, C, O)) - 0.5
+        ref = jax.lax.conv_general_dilated(
+            x, w, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
+        y = _s2d_stride2_conv(x, w, jax.lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
