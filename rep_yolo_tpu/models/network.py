@@ -225,12 +225,83 @@ class DetectionNet(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False):
         saved: dict[int, jax.Array] = {}
         y = x
+        # --- channel-major q8 region planning (trace time) -------------
+        # When the DER q8 fast path is on, consecutive DER->MP->DER spans
+        # exchange flat (B, C, H*W) int8 directly: each DER emits int8 at
+        # its successor's calibrated st1 scale (cm_out_scale), the MP
+        # pools int8 channel-major (max commutes with the positive
+        # scale), and the successor consumes it without the per-block
+        # quantize+transpose glue (which measured larger than the kernel
+        # wins it wrapped — BASELINE.md round-3). `cm` maps layer index
+        # -> (scale, h, w) for outputs currently held as flat int8;
+        # `nhwc_cache` holds their lazily-dequantized NHWC views for
+        # non-region consumers (FPN taps).
+        q8_region = (self.deploy and not train
+                     and B.CMAJOR_DEPLOY == "q8" and bool(B.CMAJOR_SCALES))
+        cm: dict[int, tuple[float, int, int]] = {}
+        nhwc_cache: dict[int, jax.Array] = {}
+        if q8_region:
+            cons: dict[int, list] = {}
+            for sp in self.cfg.layers:
+                for j in sp.f:
+                    if j >= 0:
+                        cons.setdefault(j, []).append(sp.i)
+
+            def st1_scale(i: int):
+                suffix = f"l{i}/stage1/reparam_conv"
+                for k, v in B.CMAJOR_SCALES.items():
+                    # anchored: "l1/..." must not match "l11/..."
+                    if ((k == suffix or k.endswith("/" + suffix))
+                            and v > 0.0):
+                        return float(v)
+                return None
+
+            def der_cm_ok(sp, h: int, w: int) -> bool:
+                return (sp.name == "DER_Block" and isinstance(sp.c1, int)
+                        and B._CMAJOR_SELECT(sp.c1, h, w)
+                        and st1_scale(sp.i) is not None)
+
+            def cm_out_scale(i: int, h: int, w: int):
+                """Scale to emit layer i's int8 output at: the st1 scale
+                of a cm-capable DER successor (directly or through one
+                MP), else None (exit the region in NHWC bf16)."""
+                for k in cons.get(i, []):
+                    sp = self.cfg.layers[k]
+                    if sp.name == "MP":
+                        for k2 in cons.get(k, []):
+                            sp2 = self.cfg.layers[k2]
+                            if der_cm_ok(sp2, h // 2, w // 2):
+                                return st1_scale(sp2.i)
+                    elif der_cm_ok(sp, h, w):
+                        return st1_scale(sp.i)
+                return None
+
+        def to_nhwc(j: int, t: jax.Array) -> jax.Array:
+            """Dequantize + relayout a region tensor for an NHWC consumer."""
+            if j in nhwc_cache:
+                return nhwc_cache[j]
+            s, h, w = cm[j]
+            bsz, c = t.shape[0], t.shape[1]
+            out = (t.astype(jnp.bfloat16) * jnp.bfloat16(s))
+            out = jnp.transpose(out.reshape(bsz, c, h, w), (0, 2, 3, 1))
+            nhwc_cache[j] = out
+            return out
+
         for spec in self.cfg.layers:
-            # Gather inputs.
+            # Gather inputs (region tensors are converted lazily unless
+            # the consumer participates in the region — DER/MP below).
+            cm_consumer = q8_region and spec.name in ("DER_Block", "MP")
+
+            def fetch(j):
+                t = y if j in (spec.i - 1, -1) else saved[j]
+                if q8_region and j in cm and not cm_consumer:
+                    return to_nhwc(j, t)
+                return t
+
             if len(spec.f) == 1:
-                inp = y if spec.f[0] in (spec.i - 1, -1) else saved[spec.f[0]]
+                inp = fetch(spec.f[0])
             else:
-                inp = [y if j == spec.i - 1 else saved[j] for j in spec.f]
+                inp = [fetch(j) for j in spec.f]
 
             n = spec.name
             if n == "Concat":
@@ -250,13 +321,54 @@ class DetectionNet(nn.Module):
             elif n == "ReOrg":
                 y = B.ReOrg()(inp)
             elif n == "MP":
-                y = self._max_pool2(spec, inp, train)
+                j = spec.i - 1 if spec.f[0] == -1 else spec.f[0]
+                if q8_region and j in cm:
+                    # pool the flat int8 in channel-major (max commutes
+                    # with the positive dequant scale); stays in-region
+                    from rep_yolo_tpu.ops.pallas.conv_flat import \
+                        max_pool_cm
+
+                    s, h, w = cm[j]
+                    bsz, c = inp.shape[0], inp.shape[1]
+                    y = max_pool_cm(inp.reshape(bsz, c, h, w))
+                    y = y.reshape(bsz, c, (h // 2) * (w // 2))
+                    cm[spec.i] = (s, h // 2, w // 2)
+                else:
+                    y = self._max_pool2(spec, inp, train)
             elif n == "SP":
                 k = spec.args[0] if spec.args else 3
                 s = spec.args[1] if len(spec.args) > 1 else 1
                 y = B.max_pool(inp, k, s, k // 2)
             elif n in ("nn.Upsample", "Upsample"):
                 y = B.upsample2x_nearest(inp)
+            elif n == "DER_Block" and q8_region:
+                j = spec.i - 1 if spec.f[0] == -1 else spec.f[0]
+                if j in cm:
+                    _, h, w = cm[j]
+                else:
+                    h, w = inp.shape[1], inp.shape[2]
+                # consume int8 directly only when the producer emitted at
+                # exactly this block's st1 scale (cm_out_scale planning
+                # guarantees it for the linear backbone; anything else —
+                # gate mismatch, competing successors — exits the region)
+                use_cm = (j in cm and der_cm_ok(spec, h, w)
+                          and abs(cm[j][0] - st1_scale(spec.i)) < 1e-12)
+                if j in cm and not use_cm:
+                    inp = to_nhwc(j, inp)
+                out_s = (cm_out_scale(spec.i, h, w)
+                         if der_cm_ok(spec, h, w) else None)
+                c2 = spec.args[0]
+                nbs = spec.args[1] if len(spec.args) > 1 else 2
+                ncb = spec.args[2] if len(spec.args) > 2 else 1
+                mod = B.DERBlock(spec.c1, c2, nbs, ncb, deploy=True,
+                                 cm_in=use_cm, cm_hw=(h, w),
+                                 cm_out_scale=out_s, name=f"l{spec.i}")
+                y = mod(inp, train)
+                # register only if the fast path actually emitted int8
+                # (it declines when any of the block's 13 conv scales is
+                # missing and falls back to the NHWC stage path)
+                if out_s is not None and y.dtype == jnp.int8:
+                    cm[spec.i] = (out_s, h, w)
             else:
                 is_head = n in ("Detect", "IDetect", "IAuxDetect", "IBin",
                                 "IKeypoint")

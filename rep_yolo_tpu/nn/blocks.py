@@ -508,16 +508,32 @@ class DERBlock(nn.Module):
     num_blocks_per_stage: int = 1  # accepted for cfg parity; stages are single-block
     num_conv_branches: int = 1
     deploy: bool = False
+    # Channel-major q8 REGION hooks (set by DetectionNet's region planner,
+    # models/network.py): with cm_in, `x` arrives as (B, c1, H*W) int8
+    # already quantized at this block's st1 scale (cm_hw carries the
+    # spatial shape); with cm_out_scale, the block returns (B, c2, H*W)
+    # int8 at that scale instead of NHWC bf16 — the per-block entry
+    # quantize+transpose and exit relayout (b32 trace: ~4.6 ms of l1's
+    # 17.2) disappear inside the region.
+    cm_in: bool = False
+    cm_hw: tuple | None = None
+    cm_out_scale: float | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         c1, nb, dep = self.c1, self.num_conv_branches, self.deploy
 
-        if (dep and not train and CMAJOR_DEPLOY
-                and _CMAJOR_SELECT(c1, x.shape[1], x.shape[2])):
-            y = self._fast_deploy(x)
-            if y is not None:
-                return y
+        if dep and not train and CMAJOR_DEPLOY:
+            hh, ww = (self.cm_hw if self.cm_in
+                      else (x.shape[1], x.shape[2]))
+            if _CMAJOR_SELECT(c1, hh, ww):
+                y = self._fast_deploy(x)
+                if y is not None:
+                    return y
+            if self.cm_in:
+                raise ValueError(
+                    "cm_in set but the fast path declined (missing "
+                    "calibration scales or gate mismatch)")
 
         def stage(name: str, ch: int, h: jax.Array) -> jax.Array:
             h = RepSBlock(ch, ch, 3, 1, 1, nb, dep, name=name)(h, train)
@@ -631,12 +647,20 @@ class DERBlock(nn.Module):
             from rep_yolo_tpu.ops.pallas.conv_flat import (
                 conv1x1_flat_q8, conv3x3_flat_q8)
 
-            bn, hh, ww, _ = x.shape
-            xq = jnp.clip(jnp.round(x.astype(jnp.float32)
-                                    * (1.0 / scales["st1"])), -127, 127
-                          ).astype(jnp.int8)
-            xq = jax.lax.optimization_barrier(xq)
-            xf = jnp.transpose(xq, (0, 3, 1, 2)).reshape(bn, c1, hh * ww)
+            bn = x.shape[0]
+            if self.cm_in:
+                hh, ww = self.cm_hw
+                xf = x     # (B, c1, H*W) int8, already at scales["st1"]
+            else:
+                bn, hh, ww, _ = x.shape
+                # Quantize BEFORE the entry transpose, behind a barrier:
+                # without it XLA hoists the NHWC->NCHW transpose above
+                # the quantize and moves 2x the bytes (bf16 vs int8).
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32)
+                                        * (1.0 / scales["st1"])), -127, 127
+                              ).astype(jnp.int8)
+                xq = jax.lax.optimization_barrier(xq)
+                xf = jnp.transpose(xq, (0, 3, 1, 2)).reshape(bn, c1, hh * ww)
 
             def conv(name, h):
                 kern, bias = params[name]
@@ -649,10 +673,16 @@ class DERBlock(nn.Module):
                                        out_scale=scales[nxt[name]])
 
             x1, x4_1, x4_3 = run_chain(xf, conv)
+            if self.cm_out_scale is not None:
+                # stay in the region: flat int8 at the successor's scale
+                return conv1x1_flat_q8([x1, x4_1, x4_3], k_cv1, b_cv1,
+                                       1.0, act="silu",
+                                       out_scale=float(self.cm_out_scale))
             y = conv1x1_flat_q8([x1, x4_1, x4_3], k_cv1, b_cv1, 1.0,
                                 act="silu")
             y = jnp.transpose(y.reshape(bn, self.c2, hh, ww), (0, 2, 3, 1))
-            return y.astype(x.dtype)
+            out_dt = jnp.bfloat16 if x.dtype == jnp.int8 else x.dtype
+            return y.astype(out_dt)
 
         if mode == "bf16":
             xc = jnp.transpose(x, (0, 3, 1, 2))

@@ -140,11 +140,18 @@ def _load_slab(x_ref, slab, b, i, *, C, TH, W, H):
     pl.run_scoped(go, pltpu.SemaphoreType.DMA(()))
 
 
-def _im2col_taps(slab_q, xv, *, C, TH, W):
-    """xv[(v*3+u)*C + c, j] = x_pad[c, h+u-1, w+v-1] for j = h*W + w, from
+def _im2col_taps(slab_q, xv, *, C, TH, W, CP=None):
+    """xv[(v*3+u)*CP + c, j] = x_pad[c, h+u-1, w+v-1] for j = h*W + w, from
     the flat slab (row r of the halo'd tile at lanes _PAD + r*W). Taps
     v=0 / v=2 wrap across row seams in the flat layout; an iota-mod mask
-    zeroes exactly the wrapped columns (the zero-pad semantics)."""
+    zeroes exactly the wrapped columns (the zero-pad semantics).
+
+    CP > C places each tap's C-row block at a 32-aligned sublane offset
+    (int8 VMEM tiles are (32, 128): C=48 writes at offsets 48k straddle
+    tiles and lower to shifted stores). The CP-C pad rows are never
+    written — they hold garbage that multiplies against the zero rows
+    the weight packing inserts at the same offsets."""
+    CP = CP or C
     col = jax.lax.broadcasted_iota(jnp.int32, (1, TH * W), 1) % W
     left_edge = col == 0         # v=0 garbage: reads prev row's last col
     right_edge = col == W - 1    # v=2 garbage: reads next row's first col
@@ -158,11 +165,12 @@ def _im2col_taps(slab_q, xv, *, C, TH, W):
                 val = jnp.where(left_edge, zero, val)
             elif v == 2:
                 val = jnp.where(right_edge, zero, val)
-            xv[pl.ds((v * 3 + u) * C, C), :] = val
+            xv[pl.ds((v * 3 + u) * CP, C), :] = val
 
 
 def _conv3_flat_q8_kernel(x_ref, w_ref, sw_ref, b_ref, y_ref, slab, xv, *,
-                          C, O, TH, W, H, act, s_in, out_scale, out_dtype):
+                          C, O, TH, W, H, act, s_in, out_scale,
+                          out_dtype, CP):
     b = pl.program_id(0)
     i = pl.program_id(1)
     _load_slab(x_ref, slab, b, i, C=C, TH=TH, W=W, H=H)
@@ -172,7 +180,7 @@ def _conv3_flat_q8_kernel(x_ref, w_ref, sw_ref, b_ref, y_ref, slab, xv, *,
         slab_q = jnp.clip(jnp.round(slab[:, :].astype(jnp.float32)
                                     * (1.0 / s_in)), -127, 127
                           ).astype(jnp.int8)
-    _im2col_taps(slab_q, xv, C=C, TH=TH, W=W)
+    _im2col_taps(slab_q, xv, C=C, TH=TH, W=W, CP=CP)
     acc = jnp.dot(w_ref[:, :], xv[:, :],
                   preferred_element_type=jnp.int32)          # (O, TH*W)
     y_ref[0, :, :] = _q8_epilogue(acc, sw_ref, b_ref, s_in, act,
@@ -182,7 +190,7 @@ def _conv3_flat_q8_kernel(x_ref, w_ref, sw_ref, b_ref, y_ref, slab, xv, *,
 def _conv3_flat_q8_kernel_pipe(x_ref, w_ref, sw_ref, b_ref, y_ref,
                                slab_a, slab_b, xv, sem_a, sem_b, *,
                                B, C, O, TH, W, H, act, s_in, out_scale,
-                               out_dtype):
+                               out_dtype, CP):
     """Software-pipelined variant: grid (B, n_tiles//2, 2). Each (b, j)
     pair covers tiles 2j (phase h=0, slab A) and 2j+1 (h=1, slab B); the
     NEXT tile's slab DMA is always started before the current tile's
@@ -209,7 +217,7 @@ def _conv3_flat_q8_kernel_pipe(x_ref, w_ref, sw_ref, b_ref, y_ref,
             slab_q = jnp.clip(jnp.round(slab[:, :].astype(jnp.float32)
                                         * (1.0 / s_in)), -127, 127
                               ).astype(jnp.int8)
-        _im2col_taps(slab_q, xv, C=C, TH=TH, W=W)
+        _im2col_taps(slab_q, xv, C=C, TH=TH, W=W, CP=CP)
         acc = jnp.dot(w_ref[:, :], xv[:, :],
                       preferred_element_type=jnp.int32)      # (O, TH*W)
         y_ref[0, :, :] = _q8_epilogue(acc, sw_ref, b_ref, s_in, act,
@@ -244,7 +252,7 @@ def _conv3_flat_q8_kernel_pipe(x_ref, w_ref, sw_ref, b_ref, y_ref,
 
 def _conv3_flat_q8_kernel_whole(x_ref, w_ref, sw_ref, b_ref, y_ref, slab,
                                 xv, *, C, O, TH, W, H, act, s_in,
-                                out_scale, out_dtype):
+                                out_scale, out_dtype, CP):
     """Whole-image variant (H == TH): the image arrives as a VMEM block
     (no manual DMA — small deep-stage images like 40x40 have no
     128-multiple lane extent, so _load_slab's aligned copies cannot
@@ -259,7 +267,7 @@ def _conv3_flat_q8_kernel_whole(x_ref, w_ref, sw_ref, b_ref, y_ref, slab,
     slab[:, pl.ds(db, W)] = zero                       # top halo row
     slab[:, pl.ds(db + W, TH * W)] = xq
     slab[:, pl.ds(db + (TH + 1) * W, W)] = zero        # bottom halo row
-    _im2col_taps(slab[:, :], xv, C=C, TH=TH, W=W)
+    _im2col_taps(slab[:, :], xv, C=C, TH=TH, W=W, CP=CP)
     acc = jnp.dot(w_ref[:, :], xv[:, :],
                   preferred_element_type=jnp.int32)
     y_ref[0, :, :] = _q8_epilogue(acc, sw_ref, b_ref, s_in, act,
@@ -267,18 +275,22 @@ def _conv3_flat_q8_kernel_whole(x_ref, w_ref, sw_ref, b_ref, y_ref, slab,
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "s_in", "act",
-                                             "out_scale", "row_tile"))
+                                             "out_scale", "row_tile",
+                                             "tap_align"))
 def conv3x3_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
                     s_in: float, H: int, W: int, act: str | None = "silu",
                     out_scale: float | None = None,
-                    row_tile: int | None = None) -> jax.Array:
+                    row_tile: int | None = None,
+                    tap_align: bool = False) -> jax.Array:
     """Fused int8 3x3 stride-1 conv on a flat (B, C, H*W) activation:
     in-kernel halo, quant -> s32 dot -> dequant+bias+act (+requant when
     `out_scale` chains into another quantized conv).
 
     x: (B, C, H*W) float (quantized in-kernel at `s_in`) or already-int8;
     w: (3, 3, C, O) HWIO float; bias: (O,). Returns (B, O, H*W) bf16, or
-    int8 at `out_scale`.
+    int8 at `out_scale`. `tap_align` pads each im2col tap block to a
+    32-row boundary (aligned VMEM stores at the cost of a wider dot —
+    see _im2col_taps).
     """
     B, C, HW = x.shape
     assert HW == H * W, (x.shape, H, W)
@@ -286,11 +298,15 @@ def conv3x3_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
     TH = row_tile or pick_row_tile(H, W)
     assert H % TH == 0, (H, TH)
 
-    w9 = jnp.transpose(w, (3, 1, 0, 2)).reshape(O, 9 * C)
+    CP = _round_up(C, 32) if tap_align else C
+    w9 = jnp.transpose(w, (3, 1, 0, 2))                       # (O,3,3,C)
+    if CP > C:
+        w9 = jnp.pad(w9, ((0, 0), (0, 0), (0, 0), (0, CP - C)))
+    w9 = w9.reshape(O, 9 * CP)
     w_q, s_w = quantize_weights(w9)
-    KP = _round_up(9 * C, 32)
-    if KP > 9 * C:
-        w_q = jnp.pad(w_q, ((0, 0), (0, KP - 9 * C)))
+    KP = _round_up(9 * CP, 32)
+    if KP > 9 * CP:
+        w_q = jnp.pad(w_q, ((0, 0), (0, KP - 9 * CP)))
     b2 = bias.reshape(O, 1).astype(jnp.float32)
 
     # the pipelined kernel needs an even tile count: shrink TH if that
@@ -319,7 +335,7 @@ def conv3x3_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
         kernel = functools.partial(
             _conv3_flat_q8_kernel_whole, C=C, O=O, TH=TH, W=W, H=H,
             act=act, s_in=float(s_in), out_scale=out_scale,
-            out_dtype=out_dtype)
+            out_dtype=out_dtype, CP=CP)
         return pl.pallas_call(
             kernel,
             grid=(B, 1),
@@ -339,7 +355,7 @@ def conv3x3_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
         kernel = functools.partial(
             _conv3_flat_q8_kernel_pipe, B=B, C=C, O=O, TH=TH, W=W, H=H,
             act=act, s_in=float(s_in), out_scale=out_scale,
-            out_dtype=out_dtype)
+            out_dtype=out_dtype, CP=CP)
         return pl.pallas_call(
             kernel,
             grid=(B, n_tiles // 2, 2),
@@ -359,7 +375,7 @@ def conv3x3_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
         )(x, w_q, s_w, b2)
     kernel = functools.partial(
         _conv3_flat_q8_kernel, C=C, O=O, TH=TH, W=W, H=H, act=act,
-        s_in=float(s_in), out_scale=out_scale, out_dtype=out_dtype)
+        s_in=float(s_in), out_scale=out_scale, out_dtype=out_dtype, CP=CP)
     return pl.pallas_call(
         kernel,
         grid=(B, n_tiles),

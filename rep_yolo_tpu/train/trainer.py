@@ -71,7 +71,8 @@ def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
                     augment_fn=None, loss_mode: str | None = None,
                     resize_to: int | None = None,
                     mixed_precision: bool = False,
-                    accumulate: bool = False):
+                    accumulate: bool = False,
+                    fast_dropout: bool = True):
     """Build the jit-able train step.
 
     model: RepYOLO; augment_fn: optional on-device augmentation
@@ -136,6 +137,15 @@ def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
 
     def _fwd_bwd(state: TrainState, images, hw, labels, mask):
         rng, k_aug, k_drop = jax.random.split(state.rng, 3)
+        if fast_dropout:
+            # dropout mask bits from the TPU hardware RNG (rbg) instead
+            # of threefry: the 24 per-stage dropout masks cost 6.5 ms of
+            # the l1 block alone at b8 (train-step trace, BASELINE.md).
+            # rbg's weaker splitting guarantees are irrelevant for
+            # dropout; the augment stream stays threefry.
+            k_drop = jax.random.wrap_key_data(
+                jnp.tile(jax.random.key_data(
+                    jax.random.wrap_key_data(k_drop)), 2), impl="rbg")
         if augment_fn is not None:
             batch = augment_fn(images, hw, labels, mask, k_aug)
             images, labels, mask = batch.images, batch.labels, batch.mask
