@@ -98,6 +98,7 @@ def test_max_pool_cm_matches_reduce_window():
     np.testing.assert_allclose(np.asarray(max_pool_cm(x)), np.asarray(ref))
 
 
+@pytest.mark.slow
 def test_cm_mp_network_gate_parity():
     """Full tiny graph with the cm fast path + cm MP (executor gate) vs
     the plain deploy path: outputs stay within int8 tolerance."""

@@ -1,4 +1,5 @@
 """IBin / IKeypoint heads, SigmoidBin encoding, and the Bin OTA loss."""
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -141,6 +142,7 @@ def test_coco91_map():
     assert len(set(m)) == 80
 
 
+@pytest.mark.slow
 def test_bin_ota_loss_runs_and_descends():
     nc, M, S = 2, 4, 16
     bin_count = 21

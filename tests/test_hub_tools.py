@@ -86,6 +86,7 @@ def test_per_layer_profile(tiny_model):
     assert sum(r["params"] for r in rows) > 1000
 
 
+@pytest.mark.slow
 def test_reparameterize_tool(tiny_model, tmp_path):
     import sys
 

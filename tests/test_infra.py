@@ -84,6 +84,7 @@ def test_resume_daemon_finds_unfinished(tmp_path):
     assert [r.name for r, _ in found] == ["exp1"]
 
 
+@pytest.mark.slow
 def test_sharded_inference_shard_map():
     """Data-parallel inference over the 8-device mesh via shard_map with
     the full predict+NMS pipeline per shard (the bench.py multi-chip path)."""
@@ -271,6 +272,7 @@ def test_rect_eval(tmp_path):
     assert np.isfinite([res.mp, res.mr, res.map50, res.map]).all()
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_roundtrip(tmp_path):
     from rep_yolo_tpu.models.model import RepYOLO
     from rep_yolo_tpu.train.checkpoint import (load_checkpoint,

@@ -32,6 +32,7 @@ def _unpack(golden_dir):
             g["anchors_norm"], g["strides"], int(g["img_size"]), g, cfg)
 
 
+@pytest.mark.slow
 def test_classic_loss_matches_reference(golden_dir):
     preds, labels, mask, anchors, strides, size, g, cfg = _unpack(golden_dir)
     loss, comps = compute_loss(preds, labels, mask, anchors, cfg)
@@ -42,6 +43,7 @@ def test_classic_loss_matches_reference(golden_dir):
     np.testing.assert_allclose(float(loss), float(g["loss"][0]), rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_ota_loss_matches_reference(golden_dir):
     preds, labels, mask, anchors, strides, size, g, cfg = _unpack(golden_dir)
     loss, comps = compute_loss_ota(preds, labels, mask, anchors,

@@ -1,5 +1,6 @@
 """NMS parity vs a pure-numpy exact greedy reference (the same algorithm
 torchvision.ops.nms implements: score-descending greedy suppression)."""
+import pytest
 
 import jax.numpy as jnp
 import numpy as np
@@ -111,6 +112,7 @@ def _chain_pred(n=64):
                           1).astype(np.float32)[None]
 
 
+@pytest.mark.slow
 def test_nms_methods_agree():
     """pallas (interpret on CPU), matrix-XLA and greedy backends produce
     identical detections, incl. on deep suppression chains."""
