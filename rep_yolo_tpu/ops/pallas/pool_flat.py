@@ -1,0 +1,105 @@
+"""Flat-layout 2x2/s2 max pool for the channel-major int8 region.
+
+The reference MP block (reference ``models/common.py:32``, nn.MaxPool2d
+k=2 s=2) sits between DER stages. Inside the deploy-time q8 region
+(models/network.py) activations live as flat ``(B, C, H*W)`` int8 with
+H*W on the 128-lane axis. The XLA formulation (``max_pool_cm``:
+reshape + strided max) makes the compiler flip the tensor to a
+C-on-lanes layout for the spatial reduction and copy it back for the
+next Pallas custom-call — a 2.56 ms relayout + 0.83 ms reduce at b32
+l1 alone (BASELINE.md round-3 trace), more than the pool's roofline by
+an order of magnitude.
+
+This kernel never leaves the flat layout:
+
+- **row pairs** are plain lane slices (rows are contiguous spans of
+  ``W`` lanes), so ``max(row 2k, row 2k+1)`` is elementwise;
+- **lane pairs** (the horizontal 2:1 decimation) use two tiny int8 MXU
+  dots against constant 0/1 selection matrices ``S_even``/``S_odd``
+  (``(W, W//2)``) instead of a stride-2 lane slice — strided lane
+  access has no efficient Mosaic lowering, while a (C, W) x (W, W/2)
+  int8 matmul is a single MXU pass and exact for 0/1 weights.
+
+max is scale-preserving for the positive dequant scale, so the pool
+needs no epilogue: int8 in, the same calibrated scale out.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _sel_matrices(W: int) -> tuple[jax.Array, jax.Array]:
+    """0/1 int8 selection matrices picking even / odd lanes of a W-row."""
+    cols = W // 2
+    i = jnp.arange(W)[:, None]
+    j = jnp.arange(cols)[None, :]
+    even = (i == 2 * j).astype(jnp.int8)
+    odd = (i == 2 * j + 1).astype(jnp.int8)
+    return even, odd
+
+
+def _pick_tr(H: int, W: int) -> int | None:
+    """Output row tile: TR output rows per grid step. Both the input
+    block (2*TR*W lanes) and the output block (TR*W/2 lanes) must be
+    128-multiples for lane-sliced BlockSpec delivery."""
+    H2 = H // 2
+    for tr in (16, 8, 4, 2, 1):
+        if H2 % tr == 0 and (tr * (W // 2)) % 128 == 0 \
+                and (2 * tr * W) % 128 == 0:
+            return tr
+    return None
+
+
+def supports(C: int, H: int, W: int) -> bool:
+    return (H % 2 == 0 and W % 2 == 0 and _pick_tr(H, W) is not None
+            and C <= 512)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
+def max_pool2_flat(x: jax.Array, H: int, W: int,
+                   interpret: bool = False) -> jax.Array:
+    """2x2 stride-2 max pool on a flat (B, C, H*W) tensor, returning
+    (B, C, (H//2)*(W//2)) in the same dtype and layout (int8 passes
+    through at its calibrated scale; bf16 works too — the selection
+    dot runs in f32 then)."""
+    B, C, HW = x.shape
+    assert HW == H * W, (x.shape, H, W)
+    TR = _pick_tr(H, W)
+    assert TR is not None, (H, W)
+    W2, H2 = W // 2, H // 2
+
+    se, so = _sel_matrices(W)
+    if x.dtype != jnp.int8:
+        se = se.astype(x.dtype)
+        so = so.astype(x.dtype)
+        acc_dtype = jnp.float32
+    else:
+        acc_dtype = jnp.int32
+
+    def kernel(x_ref, se_ref, so_ref, y_ref):
+        for k in range(TR):
+            r0 = x_ref[0, :, pl.ds((2 * k) * W, W)]
+            r1 = x_ref[0, :, pl.ds((2 * k + 1) * W, W)]
+            m = jnp.maximum(r0, r1)
+            a = jnp.dot(m, se_ref[:, :], preferred_element_type=acc_dtype)
+            b = jnp.dot(m, so_ref[:, :], preferred_element_type=acc_dtype)
+            y_ref[0, :, pl.ds(k * W2, W2)] = (
+                jnp.maximum(a, b).astype(x_ref.dtype))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H2 // TR),
+        in_specs=[
+            pl.BlockSpec((1, C, 2 * TR * W), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((W, W2), lambda b, i: (0, 0)),
+            pl.BlockSpec((W, W2), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, C, TR * W2), lambda b, i: (b, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((B, C, H2 * W2), x.dtype),
+        interpret=interpret,
+    )(x, se, so)

@@ -120,3 +120,30 @@ def test_cm_mp_network_gate_parity():
     ref, out = np.asarray(ref, np.float32), np.asarray(out, np.float32)
     corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
     assert corr > 0.99, corr
+
+
+@pytest.mark.parametrize("C,H,W,dtype", [(48, 320, 320, jnp.int8),
+                                         (96, 160, 160, jnp.int8),
+                                         (32, 64, 64, jnp.float32)])
+def test_max_pool2_flat_matches_reshape_max(C, H, W, dtype):
+    """Flat-layout Pallas 2x2/s2 pool vs the reshape+max reference
+    (reference MP, models/common.py:32), exact in int8 and f32."""
+    from rep_yolo_tpu.ops.pallas.pool_flat import max_pool2_flat, supports
+
+    assert supports(C, H, W)
+    rng = np.random.default_rng(0)
+    x4 = rng.integers(-127, 128, (2, C, H, W)).astype(
+        np.int8 if dtype == jnp.int8 else np.float32)
+    ref = x4.reshape(2, C, H // 2, 2, W // 2, 2).max(axis=(3, 5))
+    y = max_pool2_flat(jnp.asarray(x4.reshape(2, C, H * W)), H, W,
+                       interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(y).reshape(2, C, H // 2, W // 2), ref)
+
+
+def test_max_pool2_flat_supports_gate():
+    from rep_yolo_tpu.ops.pallas.pool_flat import supports
+
+    assert supports(48, 320, 320) and supports(96, 160, 160)
+    assert not supports(192, 80, 80)   # no 128-aligned output row tile
+    assert not supports(48, 321, 320)  # odd H
