@@ -327,11 +327,17 @@ class DetectionNet(nn.Module):
                     # with the positive dequant scale); stays in-region
                     from rep_yolo_tpu.ops.pallas.conv_flat import \
                         max_pool_cm
+                    from rep_yolo_tpu.ops.pallas import pool_flat
 
                     s, h, w = cm[j]
                     bsz, c = inp.shape[0], inp.shape[1]
-                    y = max_pool_cm(inp.reshape(bsz, c, h, w))
-                    y = y.reshape(bsz, c, (h // 2) * (w // 2))
+                    if pool_flat.supports(c, h, w):
+                        # lane-resident pool: no layout flip around the
+                        # XLA reshape+max (2.56 ms copy at b32 l1)
+                        y = pool_flat.max_pool2_flat(inp, h, w)
+                    else:
+                        y = max_pool_cm(inp.reshape(bsz, c, h, w))
+                        y = y.reshape(bsz, c, (h // 2) * (w // 2))
                     cm[spec.i] = (s, h // 2, w // 2)
                 else:
                     y = self._max_pool2(spec, inp, train)

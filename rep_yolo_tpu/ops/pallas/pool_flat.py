@@ -73,21 +73,21 @@ def max_pool2_flat(x: jax.Array, H: int, W: int,
     assert TR is not None, (H, W)
     W2, H2 = W // 2, H // 2
 
-    se, so = _sel_matrices(W)
-    if x.dtype != jnp.int8:
-        se = se.astype(x.dtype)
-        so = so.astype(x.dtype)
-        acc_dtype = jnp.float32
-    else:
-        acc_dtype = jnp.int32
+    # Mosaic on this target legalizes neither arith.maxsi nor int8
+    # vector compares — every elementwise step runs in f32 (exact for
+    # int8 values; same pattern as the conv_flat epilogues) and int8
+    # appears only at the load and the final convert.
+    se, so = (m.astype(jnp.float32) for m in _sel_matrices(W))
 
     def kernel(x_ref, se_ref, so_ref, y_ref):
         for k in range(TR):
-            r0 = x_ref[0, :, pl.ds((2 * k) * W, W)]
-            r1 = x_ref[0, :, pl.ds((2 * k + 1) * W, W)]
+            r0 = x_ref[0, :, pl.ds((2 * k) * W, W)].astype(jnp.float32)
+            r1 = x_ref[0, :, pl.ds((2 * k + 1) * W, W)].astype(jnp.float32)
             m = jnp.maximum(r0, r1)
-            a = jnp.dot(m, se_ref[:, :], preferred_element_type=acc_dtype)
-            b = jnp.dot(m, so_ref[:, :], preferred_element_type=acc_dtype)
+            a = jnp.dot(m, se_ref[:, :],
+                        preferred_element_type=jnp.float32)
+            b = jnp.dot(m, so_ref[:, :],
+                        preferred_element_type=jnp.float32)
             y_ref[0, :, pl.ds(k * W2, W2)] = (
                 jnp.maximum(a, b).astype(x_ref.dtype))
 
