@@ -347,6 +347,22 @@ class DetectionNet(nn.Module):
                 y = B.max_pool(inp, k, s, k // 2)
             elif n in ("nn.Upsample", "Upsample"):
                 y = B.upsample2x_nearest(inp)
+            elif (n == "RepS_Block" and q8_region
+                    and isinstance(spec.c1, int) and spec.c1 <= 4
+                    and (spec.args[1] if len(spec.args) > 1 else 3) == 3
+                    and (spec.args[2] if len(spec.args) > 2 else 1) == 2):
+                # thin stride-2 stem: enter the region HERE — the block
+                # emits flat int8 at its DER successor's st1 scale (the
+                # NHWC stem exit otherwise costs ~5 ms of b32 copies)
+                h2, w2 = inp.shape[1] // 2, inp.shape[2] // 2
+                out_s = cm_out_scale(spec.i, h2, w2)
+                p_ = spec.args[3] if len(spec.args) > 3 else 0
+                mod = B.RepSBlock(spec.c1, spec.args[0], 3, 2, p_,
+                                  num_conv_branches=1, deploy=True,
+                                  cm_out_scale=out_s, name=f"l{spec.i}")
+                y = mod(inp, train)
+                if out_s is not None and y.dtype == jnp.int8:
+                    cm[spec.i] = (out_s, h2, w2)
             elif n == "DER_Block" and q8_region:
                 j = spec.i - 1 if spec.f[0] == -1 else spec.f[0]
                 if j in cm:

@@ -443,10 +443,25 @@ class RepSBlock(nn.Module):
     p: int = 1
     num_conv_branches: int = 1
     deploy: bool = False
+    # q8-region hook (models/network.py planner): emit flat (B, c2,
+    # (H/2)*(W/2)) int8 at this scale instead of NHWC bf16, entering the
+    # channel-major region AT the stem — the NHWC stem output otherwise
+    # pays ~5 ms of b32 layout copies + a separate quantize before l1
+    # (BASELINE.md round-3 trace). Only taken for the thin stride-2 stem
+    # shape (k=3, s=2, c1<=4); falls back silently when uncalibrated.
+    cm_out_scale: float | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         if self.deploy:
+            if (self.cm_out_scale is not None and not train
+                    and CMAJOR_DEPLOY == "q8" and self.k == 3
+                    and self.s == 2 and self.p == 1 and self.c1 <= 4
+                    and x.ndim == 4 and x.shape[1] % 2 == 0
+                    and x.shape[2] % 2 == 0):
+                y = self._stem_fast_q8(x)
+                if y is not None:
+                    return y
             y = ConvUnit(self.c2, self.k, self.s, self.p, use_bias=True,
                          name="reparam_conv")(x)
             return jax.nn.silu(y)
@@ -494,6 +509,53 @@ class RepSBlock(nn.Module):
                              name=f"rbr_conv_{i}_conv")(x)
                 out = add(out, BN(name=f"rbr_conv_{i}_bn")(b, train))
         return jax.nn.silu(out)
+
+    def _stem_fast_q8(self, x: jax.Array) -> jax.Array | None:
+        """Thin stride-2 stem directly into the flat int8 region: quantize
+        the image, space-to-depth to channel-major (B, 4*c1, H/2*W/2), and
+        run ONE fused flat conv that is exactly the stride-2 3x3 stem —
+        the s2d 2x2 kernel (same (phase, tap) lattice as
+        `_s2d_stride2_conv`) embedded at [:2, :2] of a 3x3 so the
+        stride-1 SAME flat kernel reproduces pad ((1,0),(1,0)) VALID 2x2
+        (taps at offsets {-1, 0}; the v=2/u=2 taps carry zero weights).
+        Declares the SAME `reparam_conv/w` param paths as the regular
+        deploy ConvUnit. Returns None when the input scale is
+        uncalibrated."""
+        from rep_yolo_tpu.ops.pallas.conv_flat import conv3x3_flat_q8
+
+        prefix = "/".join(self.scope.path) if self.scope is not None else ""
+        s_in = CMAJOR_SCALES.get(f"{prefix}/reparam_conv")
+        if s_in is None or s_in <= 0.0:
+            return None
+        C, O = self.c1, self.c2
+        kern, bias = _NestedConvParams(
+            (), (3, 3, C, O), C * 9, True, name="reparam_conv")()
+
+        bn, H, W, _ = x.shape
+        H2, W2 = H // 2, W // 2
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / s_in)),
+                      -127, 127).astype(jnp.int8)
+        # barrier: keep the cheap int8 relayout below the quantize
+        # (same hoisting hazard as DERBlock's entry, measured there)
+        xq = jax.lax.optimization_barrier(xq)
+        xs = xq.reshape(bn, H2, 2, W2, 2, C)
+        xs = jnp.transpose(xs, (0, 2, 4, 5, 1, 3)).reshape(bn, 4 * C,
+                                                           H2 * W2)
+        # the flat kernel's slab DMA slices the channel dim, which must
+        # sit on whole sublane tiles: pad 4*C=12 -> 16 with zero channels
+        # (and zero weight rows below) — exact
+        CP = -(-4 * C // 8) * 8
+        if CP > 4 * C:
+            xs = jnp.pad(xs, ((0, 0), (0, CP - 4 * C), (0, 0)))
+        w3 = jnp.zeros((3, 3, CP, O), jnp.float32)
+        for ap, pph, di in ((0, 1, 0), (1, 0, 1), (1, 1, 2)):
+            for bq, qph, dj in ((0, 1, 0), (1, 0, 1), (1, 1, 2)):
+                ch = (pph * 2 + qph) * C
+                w3 = w3.at[ap, bq, ch:ch + C].set(
+                    kern[di, dj].astype(jnp.float32))
+        return conv3x3_flat_q8(xs, w3, bias, float(s_in), H2, W2,
+                               act="silu",
+                               out_scale=float(self.cm_out_scale))
 
 
 class DERBlock(nn.Module):

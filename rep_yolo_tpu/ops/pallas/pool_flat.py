@@ -62,11 +62,13 @@ def supports(C: int, H: int, W: int) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
 def max_pool2_flat(x: jax.Array, H: int, W: int,
-                   interpret: bool = False) -> jax.Array:
+                   interpret: bool | None = None) -> jax.Array:
     """2x2 stride-2 max pool on a flat (B, C, H*W) tensor, returning
     (B, C, (H//2)*(W//2)) in the same dtype and layout (int8 passes
     through at its calibrated scale; bf16 works too — the selection
     dot runs in f32 then)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     B, C, HW = x.shape
     assert HW == H * W, (x.shape, H, W)
     TR = _pick_tr(H, W)
