@@ -63,7 +63,9 @@ def main():
 
     for C, O, H, W, tag in [(48, 48, 320, 320, "l1 st 3x3 48ch@320^2"),
                             (24, 24, 320, 320, "l1 st 3x3 24ch@320^2"),
-                            (48, 48, 160, 160, "l3 st 3x3 48ch@160^2")]:
+                            (48, 48, 160, 160, "l3 st 3x3 48ch@160^2"),
+                            (24, 24, 160, 160, "l3 mid 3x3 24ch@160^2"),
+                            (16, 48, 320, 320, "stem s2d 16ch@320^2")]:
         w = jax.device_put(
             jax.random.uniform(key, (3, 3, C, O)) - 0.5, dev)
         bias = jnp.zeros(O)
@@ -85,6 +87,10 @@ def main():
                     xc, w, bias, s, H, W, out_scale=s, row_tile=rt).sum(
                         dtype=jnp.int32).astype(jnp.float32),
                     xf, f"v2 flat q8 {tag} rt={rt}")
+        slope(lambda xc: conv3x3_flat_q8(
+            xc, w, bias, s, H, W, out_scale=s, tap_align=True).sum(
+                dtype=jnp.int32).astype(jnp.float32),
+            xf, f"v2 flat q8 {tag} tap_align")
 
     # 1x1 concat->cv1: v1 = concat + kernel; v2 = 3-ref kernel. The three
     # sections travel as ONE stacked loop-carried array so they don't get
