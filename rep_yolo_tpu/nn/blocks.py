@@ -72,6 +72,23 @@ def _use_fused_attention(h: int, w: int) -> bool:
     return FUSED_ATTENTION_MAX_HW is None or h * w <= FUSED_ATTENTION_MAX_HW
 
 
+# Fused training-BN statistics in RepSBlock: the skip/scale/conv branches
+# each run their own BatchNorm over a (B,H,W,c2) tensor, so every stat is
+# a separate c2-lane reduce (48/128 = 37% lane fill in l1; the b8 train
+# trace attributes ~18 ms/step to these reduce_sums). The fused path
+# concatenates the branch tensors channel-wise and computes ALL branch
+# stats in one (2+N)*c2-lane reduce + one normalize/sum fusion —
+# mathematically identical (BN is per-channel), parameter-tree identical
+# (stats declared at the same rbr_*/norm paths). Off by default until
+# measured on hardware; enable with set_fused_train_bn(True).
+FUSED_TRAIN_BN = False
+
+
+def set_fused_train_bn(enabled: bool) -> None:
+    global FUSED_TRAIN_BN
+    FUSED_TRAIN_BN = enabled
+
+
 def autopad(k: int, p: int | None = None) -> int:
     """'same'-style pad (reference models/common.py:25-29)."""
     return k // 2 if p is None else p
@@ -238,6 +255,46 @@ class _NestedConvParams(nn.Module):
                                name="w")()
         return _NestedConvParams(self.chain[1:], self.shape, self.fan_in,
                                  self.use_bias, name=self.chain[0])()
+
+
+class _BNStatParams(nn.Module):
+    """Declares one BatchNorm's {scale, bias} params and {mean, var}
+    running stats with nn.BatchNorm's exact names/shapes/dtypes, returning
+    the raw params + mutable variable refs for fused-stat execution."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, ra_mean, ra_var
+
+
+class _NestedBNParams(nn.Module):
+    """BN analog of _NestedConvParams: declares a BN's params/stats under
+    `chain` + the wrapper's 'norm' leaf (e.g. name='rbr_skip' ->
+    rbr_skip/norm/{scale,bias} + batch_stats rbr_skip/norm/{mean,var}),
+    identical to what BN/nn.BatchNorm would declare — fused and unfused
+    paths share checkpoints bit-for-bit."""
+
+    chain: tuple
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        if len(self.chain) == 0:
+            return _BNStatParams(self.features, name="norm")()
+        return _NestedBNParams(self.chain[1:], self.features,
+                               name=self.chain[0])()
 
 
 def _xla_conv_q8(x_q, w, bias, s_in, out_scale=None):
@@ -466,16 +523,17 @@ class RepSBlock(nn.Module):
                          name="reparam_conv")(x)
             return jax.nn.silu(y)
 
-        # accumulate without a scalar seed: jnp.zeros(()) is f32 and would
-        # silently promote the whole (bf16) mixed-precision forward AND
-        # its backward to f32 (measured 690 -> f32 backward on v5e)
-        out = None
-        add = lambda a, b: b if a is None else a + b
+        # Branch pre-BN tensors in the reference's accumulation order
+        # (skip, scale, conv_0..N). Accumulate without a scalar seed:
+        # jnp.zeros(()) is f32 and would silently promote the whole (bf16)
+        # mixed-precision forward AND its backward to f32 (measured
+        # 690 -> f32 backward on v5e).
+        parts: list[tuple[jax.Array, str]] = []
         if self.c1 == self.c2 and self.s == 1:
-            out = add(out, BN(name="rbr_skip")(x, train))
+            parts.append((x, "rbr_skip"))
         if self.k > 1:
             s = ConvUnit(self.c2, 1, self.s, 0, name="rbr_scale_conv")(x)
-            out = add(out, BN(name="rbr_scale_bn")(s, train))
+            parts.append((s, "rbr_scale_bn"))
         if self.num_conv_branches > 1:
             # run the N identical kxk branches as ONE output-concatenated
             # conv: the branches are independent per output channel, so
@@ -502,13 +560,52 @@ class RepSBlock(nn.Module):
                 precision=CONV_PRECISION)
             for i in range(self.num_conv_branches):
                 sl = y[..., i * self.c2:(i + 1) * self.c2]
-                out = add(out, BN(name=f"rbr_conv_{i}_bn")(sl, train))
+                parts.append((sl, f"rbr_conv_{i}_bn"))
         else:
             for i in range(self.num_conv_branches):
                 b = ConvUnit(self.c2, self.k, self.s, self.p,
                              name=f"rbr_conv_{i}_conv")(x)
-                out = add(out, BN(name=f"rbr_conv_{i}_bn")(b, train))
+                parts.append((b, f"rbr_conv_{i}_bn"))
+        if FUSED_TRAIN_BN and train:
+            return jax.nn.silu(self._fused_bn_sum(parts))
+        out = None
+        for t, name in parts:
+            b = BN(name=name)(t, train)
+            out = b if out is None else out + b
         return jax.nn.silu(out)
+
+    def _fused_bn_sum(self, parts) -> jax.Array:
+        """All branch BatchNorms as ONE stats reduce + one normalize/sum.
+
+        BN is per-channel, so stats of the channel-concat equal the
+        per-branch stats exactly; the concat reduce fills (2+N)*c2 MXU
+        lanes instead of c2 and the normalize + branch sum become one
+        elementwise fusion. Mirrors flax BatchNorm numerics: f32 fast
+        variance clipped at 0 (flax _compute_stats), f32 normalize cast
+        to the input dtype (flax _normalize with dtype=x.dtype for bf16,
+        None for f32 — both land on this), running stats updated with the
+        same momentum law outside init."""
+        c = parts[0][0].shape[-1]
+        G = len(parts)
+        t = jnp.concatenate([p for p, _ in parts], axis=-1)
+        decl = [_NestedBNParams((), c, name=name)() for _, name in parts]
+        tf = t.astype(jnp.float32)
+        mu = tf.mean((0, 1, 2))
+        mu2 = (tf * tf).mean((0, 1, 2))
+        var = jnp.maximum(0.0, mu2 - mu * mu)
+        if not self.is_initializing():
+            for g, (_, _, rm, rv) in enumerate(decl):
+                sl = slice(g * c, (g + 1) * c)
+                rm.value = (BN_MOMENTUM * rm.value
+                            + (1.0 - BN_MOMENTUM) * mu[sl])
+                rv.value = (BN_MOMENTUM * rv.value
+                            + (1.0 - BN_MOMENTUM) * var[sl])
+        scale = jnp.concatenate([d[0] for d in decl])
+        bias = jnp.concatenate([d[1] for d in decl])
+        y = (tf - mu) * (jax.lax.rsqrt(var + BN_EPS) * scale) + bias
+        y = y.astype(t.dtype)
+        B, H, W, _ = y.shape
+        return y.reshape(B, H, W, G, c).sum(3)
 
     def _stem_fast_q8(self, x: jax.Array) -> jax.Array | None:
         """Thin stride-2 stem directly into the flat int8 region: quantize

@@ -52,6 +52,9 @@ def main():
     p.add_argument("--wgrad", action="store_true",
                    help="Pallas weight-gradient backward for thin 3x3 "
                         "convs (nn.blocks.set_pallas_wgrad)")
+    p.add_argument("--fused-bn", action="store_true",
+                   help="fused branch-BN statistics in RepSBlock "
+                        "(nn.blocks.set_fused_train_bn)")
     p.add_argument("--trace", default=None, metavar="DIR")
     args = p.parse_args()
 
@@ -59,6 +62,10 @@ def main():
         import rep_yolo_tpu.nn.blocks as blocks_lib
 
         blocks_lib.set_pallas_wgrad(True)
+    if args.fused_bn:
+        import rep_yolo_tpu.nn.blocks as blocks_lib
+
+        blocks_lib.set_fused_train_bn(True)
 
     from rep_yolo_tpu.models.model import RepYOLO
     from rep_yolo_tpu.train import optim as optim_lib
@@ -150,7 +157,8 @@ def main():
           f"{'classic' if args.classic else 'ota'}"
           f"{' remat' if args.remat else ''}"
           f"{' aug' if args.augment else ''}"
-          f"{' accum' if args.accum else ''}: "
+          f"{' accum' if args.accum else ''}"
+          f"{' fused-bn' if args.fused_bn else ''}: "
           f"{dt * 1000:8.2f} ms/step -> {B / dt:7.1f} img/s", flush=True)
 
     if args.trace:
