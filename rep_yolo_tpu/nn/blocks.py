@@ -586,26 +586,31 @@ class RepSBlock(nn.Module):
         None for f32 — both land on this), running stats updated with the
         same momentum law outside init."""
         c = parts[0][0].shape[-1]
-        G = len(parts)
-        t = jnp.concatenate([p for p, _ in parts], axis=-1)
         decl = [_NestedBNParams((), c, name=name)() for _, name in parts]
+        # Stats from ONE concat reduce; the concat is consumed only by
+        # the two means (fusable, no elementwise materialization). First
+        # measurement (concat normalize + reshape/sum variant) regressed
+        # b8 189 -> 255 ms/step — the (B,H,W,G*c) f32 concat materialized
+        # through fwd+bwd; this variant normalizes per-branch so the
+        # elementwise path stays on the original tensors.
+        t = jnp.concatenate([p for p, _ in parts], axis=-1)
         tf = t.astype(jnp.float32)
         mu = tf.mean((0, 1, 2))
         mu2 = (tf * tf).mean((0, 1, 2))
         var = jnp.maximum(0.0, mu2 - mu * mu)
-        if not self.is_initializing():
-            for g, (_, _, rm, rv) in enumerate(decl):
-                sl = slice(g * c, (g + 1) * c)
+        mul = jax.lax.rsqrt(var + BN_EPS)
+        out = None
+        for g, ((part, _), (sc, bi, rm, rv)) in enumerate(zip(parts, decl)):
+            sl = slice(g * c, (g + 1) * c)
+            if not self.is_initializing():
                 rm.value = (BN_MOMENTUM * rm.value
                             + (1.0 - BN_MOMENTUM) * mu[sl])
                 rv.value = (BN_MOMENTUM * rv.value
                             + (1.0 - BN_MOMENTUM) * var[sl])
-        scale = jnp.concatenate([d[0] for d in decl])
-        bias = jnp.concatenate([d[1] for d in decl])
-        y = (tf - mu) * (jax.lax.rsqrt(var + BN_EPS) * scale) + bias
-        y = y.astype(t.dtype)
-        B, H, W, _ = y.shape
-        return y.reshape(B, H, W, G, c).sum(3)
+            y = ((part.astype(jnp.float32) - mu[sl]) * (mul[sl] * sc)
+                 + bi).astype(part.dtype)
+            out = y if out is None else out + y
+        return out
 
     def _stem_fast_q8(self, x: jax.Array) -> jax.Array | None:
         """Thin stride-2 stem directly into the flat int8 region: quantize
