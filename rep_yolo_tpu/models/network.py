@@ -8,6 +8,7 @@ the TPU-first replacement for the reference's per-step module graph walk
 
 from __future__ import annotations
 
+import logging
 from typing import Any
 
 import jax
@@ -20,6 +21,15 @@ from rep_yolo_tpu.nn import blocks as B
 from rep_yolo_tpu.nn import orepa as O
 from rep_yolo_tpu.nn import transformer as T
 from rep_yolo_tpu.nn import zoo as Z
+
+_LOG = logging.getLogger(__name__)
+
+# Trace-time record of the last q8 region plan: {layer index: decision
+# string}. Written once per traced deploy forward when the channel-major
+# q8 region is enabled — the observable answer to "which layers actually
+# entered the region and why did it end where it did" (a silently
+# shrunken region is a 10%+ perf regression with no functional symptom).
+LAST_REGION_PLAN: dict[int, str] = {}
 
 # Functional (parameter-free) ops handled inline by the executor.
 _FUNCTIONAL = {"Concat", "ADD", "Shortcut", "MP", "SP", "nn.Upsample",
@@ -233,13 +243,18 @@ class DetectionNet(nn.Module):
         # scale), and the successor consumes it without the per-block
         # quantize+transpose glue (which measured larger than the kernel
         # wins it wrapped — BASELINE.md round-3). `cm` maps layer index
-        # -> (scale, h, w) for outputs currently held as flat int8;
-        # `nhwc_cache` holds their lazily-dequantized NHWC views for
-        # non-region consumers (FPN taps).
+        # -> (scale, h, w, target) for outputs currently held as flat
+        # int8, where `target` is the layer index of the DER block whose
+        # st1 calibration scale the tensor is quantized at — consumption
+        # matches on this identity, never on float equality of scales.
+        # `nhwc_cache` holds lazily-dequantized NHWC views for
+        # non-region consumers (FPN taps). `plan` records every
+        # enter/exit decision (published as LAST_REGION_PLAN).
         q8_region = (self.deploy and not train
                      and B.CMAJOR_DEPLOY == "q8" and bool(B.CMAJOR_SCALES))
-        cm: dict[int, tuple[float, int, int]] = {}
+        cm: dict[int, tuple[float, int, int, int]] = {}
         nhwc_cache: dict[int, jax.Array] = {}
+        plan: dict[int, str] = {}
         if q8_region:
             cons: dict[int, list] = {}
             for sp in self.cfg.layers:
@@ -257,30 +272,41 @@ class DetectionNet(nn.Module):
                 return None
 
             def der_cm_ok(sp, h: int, w: int) -> bool:
-                return (sp.name == "DER_Block" and isinstance(sp.c1, int)
-                        and B._CMAJOR_SELECT(sp.c1, h, w)
-                        and st1_scale(sp.i) is not None)
+                if sp.name != "DER_Block" or not isinstance(sp.c1, int):
+                    return False
+                if not B._CMAJOR_SELECT(sp.c1, h, w):
+                    return False
+                if st1_scale(sp.i) is None:
+                    # gate-selected but uncalibrated: without this
+                    # warning the region silently ends here
+                    _LOG.warning(
+                        "q8 region: DER l%d (c1=%d @%dx%d) passes the "
+                        "select gate but has no st1 calibration scale — "
+                        "layer exits the region", sp.i, sp.c1, h, w)
+                    return False
+                return True
 
             def cm_out_scale(i: int, h: int, w: int):
-                """Scale to emit layer i's int8 output at: the st1 scale
-                of a cm-capable DER successor (directly or through one
-                MP), else None (exit the region in NHWC bf16)."""
+                """(scale, target layer) to emit layer i's int8 output
+                at: the st1 scale of a cm-capable DER successor (directly
+                or through one MP), else None (exit the region in NHWC
+                bf16)."""
                 for k in cons.get(i, []):
                     sp = self.cfg.layers[k]
                     if sp.name == "MP":
                         for k2 in cons.get(k, []):
                             sp2 = self.cfg.layers[k2]
                             if der_cm_ok(sp2, h // 2, w // 2):
-                                return st1_scale(sp2.i)
+                                return st1_scale(sp2.i), sp2.i
                     elif der_cm_ok(sp, h, w):
-                        return st1_scale(sp.i)
+                        return st1_scale(sp.i), sp.i
                 return None
 
         def to_nhwc(j: int, t: jax.Array) -> jax.Array:
             """Dequantize + relayout a region tensor for an NHWC consumer."""
             if j in nhwc_cache:
                 return nhwc_cache[j]
-            s, h, w = cm[j]
+            s, h, w, _ = cm[j]
             bsz, c = t.shape[0], t.shape[1]
             out = (t.astype(jnp.bfloat16) * jnp.bfloat16(s))
             out = jnp.transpose(out.reshape(bsz, c, h, w), (0, 2, 3, 1))
@@ -329,16 +355,20 @@ class DetectionNet(nn.Module):
                         max_pool_cm
                     from rep_yolo_tpu.ops.pallas import pool_flat
 
-                    s, h, w = cm[j]
+                    s, h, w, tgt = cm[j]
                     bsz, c = inp.shape[0], inp.shape[1]
                     if pool_flat.supports(c, h, w):
                         # lane-resident pool: no layout flip around the
                         # XLA reshape+max (2.56 ms copy at b32 l1)
                         y = pool_flat.max_pool2_flat(inp, h, w)
+                        plan[spec.i] = "in-region flat int8 pool"
                     else:
                         y = max_pool_cm(inp.reshape(bsz, c, h, w))
                         y = y.reshape(bsz, c, (h // 2) * (w // 2))
-                    cm[spec.i] = (s, h // 2, w // 2)
+                        plan[spec.i] = ("in-region pool via max_pool_cm "
+                                        f"(pool_flat unsupported for "
+                                        f"C={c} {h}x{w}: relayout cost)")
+                    cm[spec.i] = (s, h // 2, w // 2, tgt)
                 else:
                     y = self._max_pool2(spec, inp, train)
             elif n == "SP":
@@ -355,30 +385,42 @@ class DetectionNet(nn.Module):
                 # emits flat int8 at its DER successor's st1 scale (the
                 # NHWC stem exit otherwise costs ~5 ms of b32 copies)
                 h2, w2 = inp.shape[1] // 2, inp.shape[2] // 2
-                out_s = cm_out_scale(spec.i, h2, w2)
+                out = cm_out_scale(spec.i, h2, w2)
+                out_s = out[0] if out is not None else None
                 p_ = spec.args[3] if len(spec.args) > 3 else 0
                 mod = B.RepSBlock(spec.c1, spec.args[0], 3, 2, p_,
                                   num_conv_branches=1, deploy=True,
                                   cm_out_scale=out_s, name=f"l{spec.i}")
                 y = mod(inp, train)
                 if out_s is not None and y.dtype == jnp.int8:
-                    cm[spec.i] = (out_s, h2, w2)
+                    cm[spec.i] = (out_s, h2, w2, out[1])
+                    plan[spec.i] = ("region entry: fused flat int8 s2d "
+                                    f"stem -> int8 @ st1(l{out[1]})")
+                elif out_s is not None:
+                    plan[spec.i] = ("stem fast path declined (stem conv "
+                                    "uncalibrated): NHWC bf16")
+                    _LOG.warning("q8 region: stem l%d has a cm successor "
+                                 "but its own input scale is missing — "
+                                 "region starts later", spec.i)
+                else:
+                    plan[spec.i] = "stem: no cm-capable successor"
             elif n == "DER_Block" and q8_region:
                 j = spec.i - 1 if spec.f[0] == -1 else spec.f[0]
                 if j in cm:
-                    _, h, w = cm[j]
+                    _, h, w = cm[j][:3]
                 else:
                     h, w = inp.shape[1], inp.shape[2]
-                # consume int8 directly only when the producer emitted at
-                # exactly this block's st1 scale (cm_out_scale planning
-                # guarantees it for the linear backbone; anything else —
-                # gate mismatch, competing successors — exits the region)
-                use_cm = (j in cm and der_cm_ok(spec, h, w)
-                          and abs(cm[j][0] - st1_scale(spec.i)) < 1e-12)
+                # consume int8 directly only when the producer emitted it
+                # FOR this block (cm target identity — an exact match on
+                # which st1 scale the planner quantized at, not a float
+                # comparison of scale values); anything else — gate
+                # mismatch, competing successors — exits the region
+                ok = der_cm_ok(spec, h, w)
+                use_cm = j in cm and ok and cm[j][3] == spec.i
                 if j in cm and not use_cm:
                     inp = to_nhwc(j, inp)
-                out_s = (cm_out_scale(spec.i, h, w)
-                         if der_cm_ok(spec, h, w) else None)
+                out = cm_out_scale(spec.i, h, w) if ok else None
+                out_s = out[0] if out is not None else None
                 c2 = spec.args[0]
                 nbs = spec.args[1] if len(spec.args) > 1 else 2
                 ncb = spec.args[2] if len(spec.args) > 2 else 1
@@ -390,7 +432,25 @@ class DetectionNet(nn.Module):
                 # (it declines when any of the block's 13 conv scales is
                 # missing and falls back to the NHWC stage path)
                 if out_s is not None and y.dtype == jnp.int8:
-                    cm[spec.i] = (out_s, h, w)
+                    cm[spec.i] = (out_s, h, w, out[1])
+                    plan[spec.i] = (
+                        f"in-region DER (c1={spec.c1} @{h}x{w}, "
+                        f"{'int8 in' if use_cm else 'NHWC in'}) -> "
+                        f"int8 @ st1(l{out[1]})")
+                else:
+                    if ok and out_s is not None:
+                        # gate+successor said int8 but _fast_deploy
+                        # declined (one of the 13 conv scales missing)
+                        _LOG.warning(
+                            "q8 region: DER l%d was planned in-region "
+                            "but its fast path declined (incomplete "
+                            "calibration) — exits in NHWC bf16", spec.i)
+                    plan[spec.i] = (
+                        f"DER (c1={spec.c1} @{h}x{w}, "
+                        f"{'int8 in' if use_cm else 'NHWC in'}) -> "
+                        + ("NHWC bf16 out (no cm successor)" if ok
+                           else ("NHWC out (select gate or calibration "
+                                 "declined)")))
             else:
                 is_head = n in ("Detect", "IDetect", "IAuxDetect", "IBin",
                                 "IKeypoint")
@@ -405,6 +465,14 @@ class DetectionNet(nn.Module):
 
             if spec.save:
                 saved[spec.i] = y
+
+        if q8_region:
+            # publish the plan (trace-time; one line per traced forward)
+            LAST_REGION_PLAN.clear()
+            LAST_REGION_PLAN.update(plan)
+            _LOG.info(
+                "q8 region plan: %s",
+                "; ".join(f"l{i}: {d}" for i, d in sorted(plan.items())))
         return y  # the head's output list
 
     def _max_pool2(self, spec, inp, train: bool):

@@ -85,6 +85,11 @@ FUSED_TRAIN_BN = False
 
 
 def set_fused_train_bn(enabled: bool) -> None:
+    """Trace-time global (same contract as set_conv_precision): call
+    BEFORE the first traced train step. Toggling after a step has been
+    jit-compiled is silently ignored — jit caches are not keyed on this
+    flag, so the cached executable keeps whatever value was set when it
+    was traced. Process-global, not per-model."""
     global FUSED_TRAIN_BN
     FUSED_TRAIN_BN = enabled
 
@@ -281,20 +286,16 @@ class _BNStatParams(nn.Module):
 
 class _NestedBNParams(nn.Module):
     """BN analog of _NestedConvParams: declares a BN's params/stats under
-    `chain` + the wrapper's 'norm' leaf (e.g. name='rbr_skip' ->
+    the wrapper name + a 'norm' leaf (e.g. name='rbr_skip' ->
     rbr_skip/norm/{scale,bias} + batch_stats rbr_skip/norm/{mean,var}),
     identical to what BN/nn.BatchNorm would declare — fused and unfused
     paths share checkpoints bit-for-bit."""
 
-    chain: tuple
     features: int
 
     @nn.compact
     def __call__(self):
-        if len(self.chain) == 0:
-            return _BNStatParams(self.features, name="norm")()
-        return _NestedBNParams(self.chain[1:], self.features,
-                               name=self.chain[0])()
+        return _BNStatParams(self.features, name="norm")()
 
 
 def _xla_conv_q8(x_q, w, bias, s_in, out_scale=None):
@@ -586,7 +587,7 @@ class RepSBlock(nn.Module):
         None for f32 — both land on this), running stats updated with the
         same momentum law outside init."""
         c = parts[0][0].shape[-1]
-        decl = [_NestedBNParams((), c, name=name)() for _, name in parts]
+        decl = [_NestedBNParams(c, name=name)() for _, name in parts]
         # Stats from ONE concat reduce; the concat is consumed only by
         # the two means (fusable, no elementwise materialization). First
         # measurement (concat normalize + reshape/sum variant) regressed

@@ -55,9 +55,25 @@ def _pick_tr(H: int, W: int) -> int | None:
     return None
 
 
+def _pick_tc(C: int, HW: int, budget: int = 2 << 20) -> int | None:
+    """Channel tile for the whole-image variant (used when no 128-aligned
+    row tile exists, e.g. the deep-stage 80x80/40x40 maps): the largest
+    divisor of C — a 32-multiple (whole int8 sublane tiles) or C itself —
+    whose (TC, H*W) input block fits the VMEM budget. Lane blocks are the
+    whole array dim, which Mosaic always accepts."""
+    for tc in sorted((d for d in range(1, C + 1) if C % d == 0
+                      and (d % 32 == 0 or d == C)), reverse=True):
+        if tc * HW <= budget:
+            return tc
+    return None
+
+
 def supports(C: int, H: int, W: int) -> bool:
-    return (H % 2 == 0 and W % 2 == 0 and _pick_tr(H, W) is not None
-            and C <= 512)
+    if H % 2 or W % 2:
+        return False
+    if _pick_tr(H, W) is not None and C <= 512:
+        return True
+    return _pick_tc(C, H * W) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
@@ -71,8 +87,7 @@ def max_pool2_flat(x: jax.Array, H: int, W: int,
         interpret = jax.default_backend() != "tpu"
     B, C, HW = x.shape
     assert HW == H * W, (x.shape, H, W)
-    TR = _pick_tr(H, W)
-    assert TR is not None, (H, W)
+    TR = _pick_tr(H, W) if C <= 512 else None
     W2, H2 = W // 2, H // 2
 
     # Mosaic on this target legalizes neither arith.maxsi nor int8
@@ -81,27 +96,49 @@ def max_pool2_flat(x: jax.Array, H: int, W: int,
     # appears only at the load and the final convert.
     se, so = (m.astype(jnp.float32) for m in _sel_matrices(W))
 
-    def kernel(x_ref, se_ref, so_ref, y_ref):
-        for k in range(TR):
-            r0 = x_ref[0, :, pl.ds((2 * k) * W, W)].astype(jnp.float32)
-            r1 = x_ref[0, :, pl.ds((2 * k + 1) * W, W)].astype(jnp.float32)
-            m = jnp.maximum(r0, r1)
-            a = jnp.dot(m, se_ref[:, :],
-                        preferred_element_type=jnp.float32)
-            b = jnp.dot(m, so_ref[:, :],
-                        preferred_element_type=jnp.float32)
-            y_ref[0, :, pl.ds(k * W2, W2)] = (
-                jnp.maximum(a, b).astype(x_ref.dtype))
+    def make_kernel(rows: int):
+        def kernel(x_ref, se_ref, so_ref, y_ref):
+            for k in range(rows):
+                r0 = x_ref[0, :, pl.ds((2 * k) * W, W)].astype(jnp.float32)
+                r1 = x_ref[0, :, pl.ds((2 * k + 1) * W, W)].astype(
+                    jnp.float32)
+                m = jnp.maximum(r0, r1)
+                a = jnp.dot(m, se_ref[:, :],
+                            preferred_element_type=jnp.float32)
+                b = jnp.dot(m, so_ref[:, :],
+                            preferred_element_type=jnp.float32)
+                y_ref[0, :, pl.ds(k * W2, W2)] = (
+                    jnp.maximum(a, b).astype(x_ref.dtype))
+        return kernel
 
+    if TR is not None:
+        return pl.pallas_call(
+            make_kernel(TR),
+            grid=(B, H2 // TR),
+            in_specs=[
+                pl.BlockSpec((1, C, 2 * TR * W), lambda b, i: (b, 0, i)),
+                pl.BlockSpec((W, W2), lambda b, i: (0, 0)),
+                pl.BlockSpec((W, W2), lambda b, i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, C, TR * W2), lambda b, i: (b, 0, i)),
+            out_shape=jax.ShapeDtypeStruct((B, C, H2 * W2), x.dtype),
+            interpret=interpret,
+        )(x, se, so)
+
+    # whole-image variant (deep-stage maps: no 128-aligned row tile
+    # exists — e.g. 80x80, 40x40): grid over channel tiles, lane blocks
+    # span the full H*W / H2*W2 (block dim == array dim is always legal)
+    TC = _pick_tc(C, HW)
+    assert TC is not None, (C, H, W)
     return pl.pallas_call(
-        kernel,
-        grid=(B, H2 // TR),
+        make_kernel(H2),
+        grid=(B, C // TC),
         in_specs=[
-            pl.BlockSpec((1, C, 2 * TR * W), lambda b, i: (b, 0, i)),
-            pl.BlockSpec((W, W2), lambda b, i: (0, 0)),
-            pl.BlockSpec((W, W2), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, TC, HW), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((W, W2), lambda b, c: (0, 0)),
+            pl.BlockSpec((W, W2), lambda b, c: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, C, TR * W2), lambda b, i: (b, 0, i)),
+        out_specs=pl.BlockSpec((1, TC, H2 * W2), lambda b, c: (b, c, 0)),
         out_shape=jax.ShapeDtypeStruct((B, C, H2 * W2), x.dtype),
         interpret=interpret,
     )(x, se, so)

@@ -127,7 +127,12 @@ def test_cm_mp_network_gate_parity():
 
 @pytest.mark.parametrize("C,H,W,dtype", [(48, 320, 320, jnp.int8),
                                          (96, 160, 160, jnp.int8),
-                                         (32, 64, 64, jnp.float32)])
+                                         (32, 64, 64, jnp.float32),
+                                         # whole-image channel-tiled
+                                         # variant (deep MP shapes)
+                                         (256, 80, 80, jnp.int8),
+                                         (512, 40, 40, jnp.int8),
+                                         (192, 80, 80, jnp.float32)])
 def test_max_pool2_flat_matches_reshape_max(C, H, W, dtype):
     """Flat-layout Pallas 2x2/s2 pool vs the reshape+max reference
     (reference MP, models/common.py:32), exact in int8 and f32."""
@@ -148,5 +153,7 @@ def test_max_pool2_flat_supports_gate():
     from rep_yolo_tpu.ops.pallas.pool_flat import supports
 
     assert supports(48, 320, 320) and supports(96, 160, 160)
-    assert not supports(192, 80, 80)   # no 128-aligned output row tile
+    # no 128-aligned output row tile -> whole-image variant (round 4)
+    assert supports(192, 80, 80)
+    assert supports(256, 80, 80) and supports(512, 40, 40)
     assert not supports(48, 321, 320)  # odd H

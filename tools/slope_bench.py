@@ -101,6 +101,12 @@ def main():
     p.add_argument("--trace", default=None, metavar="DIR")
     opts = p.parse_args()
     batch = opts.batch
+    if opts.der_fast:
+        # surface the q8 region planner's per-layer decisions (one INFO
+        # line per traced forward, models/network.py LAST_REGION_PLAN)
+        import logging
+
+        logging.basicConfig(level=logging.INFO)
     deploy, fused, x = build(batch)
     if opts.fused_attn:
         blocks_lib.set_fused_attention(True)
