@@ -159,6 +159,10 @@ def _inner() -> None:
     x_sharding = batch_sharding(mesh)
 
     def one(v, x):
+        # exact decode path: the topk serving decode (predict_topk)
+        # measured ~1 ms SLOWER at b32 on hardware (the NMS top_k over
+        # the full candidate set bounds both paths; the extra gather
+        # doesn't pay) — see BASELINE.md round-4
         pred = deploy.predict(v, x)
         det = non_max_suppression(pred.astype(jnp.float32), 0.25, 0.45,
                                   max_nms=1024)

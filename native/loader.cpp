@@ -258,12 +258,16 @@ struct Loader {
     }
   }
 
+  void drain_and_park() {
+    // park workers (any in-flight claim lands beyond every order size)
+    next_item.store(~size_t(0) / 2);
+    std::unique_lock<std::mutex> lk(mu);
+    std::queue<Batch>().swap(ready);
+    cv_space.notify_all();
+  }
+
   void start_epoch(int epoch) {
-    // drain
-    {
-      std::unique_lock<std::mutex> lk(mu);
-      std::queue<Batch>().swap(ready);
-    }
+    drain_and_park();
     order.resize(paths.size());
     for (size_t i = 0; i < order.size(); ++i) order[i] = int(i);
     if (shuffle) {
@@ -274,6 +278,19 @@ struct Loader {
       }
     }
     batches_left.store(int((order.size() + batch - 1) / batch));
+    next_item.store(0);
+    cv_space.notify_all();
+  }
+
+  // Explicit epoch order (host-computed): the sampling POLICY — shard
+  // slicing (reference utils/datasets.py:82 DistributedSampler) and
+  // image-weight resampling (reference train.py:324-335) — stays in
+  // Python; the C++ side only decodes and prefetches. Indices may
+  // repeat (weighted resample draws with replacement).
+  void start_epoch_order(const int32_t* idx, int n) {
+    drain_and_park();
+    order.assign(idx, idx + n);
+    batches_left.store(int((size_t(n) + batch - 1) / batch));
     next_item.store(0);
     cv_space.notify_all();
   }
@@ -321,6 +338,10 @@ void* ryt_create(const char** paths, int n, int img_size, int batch,
 
 void ryt_start_epoch(void* h, int epoch) {
   static_cast<Loader*>(h)->start_epoch(epoch);
+}
+
+void ryt_start_epoch_order(void* h, const int32_t* order, int n) {
+  static_cast<Loader*>(h)->start_epoch_order(order, n);
 }
 
 int ryt_next(void* h, uint8_t* images, float* hw, int32_t* indices,

@@ -75,8 +75,8 @@ def parse_args(argv=None):
                         "train.py:249-292,610-612)")
     p.add_argument("--native-loader", action="store_true",
                    help="force the C++ decode/prefetch loader (default: "
-                        "auto — used when it builds and the run is "
-                        "single-process without --image-weights)")
+                        "auto — used whenever it builds; sharding, "
+                        "--image-weights and --cache-images all ride it)")
     p.add_argument("--no-native-loader", action="store_true",
                    help="force the Python loader")
     p.add_argument("--cache-images", default=None, choices=["ram", "disk"],
@@ -227,24 +227,34 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
 
     n_proc = jax.process_count()
     local_bs = args.batch_size // n_proc
-    # loader: the C++ decode/prefetch loader by default when it builds
-    # (it has no shard/image-weight support yet — those fall back)
-    use_native = (not args.no_native_loader and n_proc == 1
-                  and not args.image_weights and not args.cache_images)
+    # loader: the C++ decode/prefetch loader by default when it builds.
+    # Sharding, --image-weights and --cache-images all ride it (the epoch
+    # order is computed host-side and handed to the prefetcher; cached
+    # datasets serve by gather) — no silent fallback paths.
+    use_native = not args.no_native_loader
     if use_native and not args.native_loader:
         from rep_yolo_tpu.data import native_loader as _nl
 
         use_native = _nl.available()
+        if not use_native:
+            print("loader: python (native loader unavailable: "
+                  f"{_nl.build_error()})")
     if use_native:
         from rep_yolo_tpu.data.native_loader import NativeLoader
 
         loader = NativeLoader(ds, local_bs, shuffle=True,
                               seed=args.seed,
-                              n_threads=args.workers or None)
-        print("loader: native (C++ decode/prefetch)")
+                              n_threads=args.workers or None,
+                              shard_index=jax.process_index(),
+                              num_shards=n_proc)
+        print("loader: native (C++ decode/prefetch"
+              + (f", {n_proc}-way sharded" if n_proc > 1 else "")
+              + (", cached" if args.cache_images else "") + ")")
     else:
         loader = Loader(ds, local_bs, shuffle=True, seed=args.seed,
                         shard_index=jax.process_index(), num_shards=n_proc)
+        if args.no_native_loader:
+            print("loader: python (--no-native-loader)")
     nb = len(loader)
     print(f"train: {len(ds)} images, {nb} batches/epoch")
 
@@ -399,7 +409,7 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
         t0 = time.time()
         mloss = np.zeros(4)
         count = 0
-        if args.image_weights and not use_native:
+        if args.image_weights:
             # class error weights -> per-image weights (reference :326-330)
             cw = class_w * (1 - maps) ** 2 / model.cfg.nc
             iw = labels_to_image_weights(ds.labels, model.cfg.nc, cw)

@@ -50,6 +50,8 @@ def _load():
                                ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                ctypes.c_uint64, ctypes.c_int]
     lib.ryt_start_epoch.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ryt_start_epoch_order.argtypes = [ctypes.c_void_p,
+                                          ctypes.c_void_p, ctypes.c_int]
     lib.ryt_next.restype = ctypes.c_int
     lib.ryt_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                              ctypes.c_void_p, ctypes.c_void_p,
@@ -96,16 +98,30 @@ def load_one(path: str, img_size: int):
 
 class NativeLoader:
     """Batch iterator backed by the C++ prefetcher. Labels/masks are padded
-    on the Python side from the dataset's parsed label arrays."""
+    on the Python side from the dataset's parsed label arrays.
+
+    Same epoch semantics as data.datasets.Loader (so the two are
+    interchangeable in the train CLI): the per-epoch index order —
+    seeded shuffle, image-weight resampling (reference train.py:324-335),
+    shard slicing (reference utils/datasets.py:82 DistributedSampler) —
+    is computed in Python with the IDENTICAL rng calls, then handed to
+    the C++ prefetcher as an explicit order. Cached datasets
+    (--cache-images ram/disk) serve batches by direct gather — the
+    decode the C++ threads would parallelize is already paid."""
 
     def __init__(self, ds, batch_size: int, shuffle: bool = True,
-                 seed: int = 0, n_threads: int | None = None):
+                 seed: int = 0, n_threads: int | None = None,
+                 shard_index: int = 0, num_shards: int = 1):
         lib = _load()
         if lib is None:
             raise RuntimeError(f"native loader unavailable: {_build_error}")
         self.lib = lib
         self.ds = ds
         self.bs = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.shard_index = shard_index
+        self.num_shards = num_shards
         n_threads = n_threads or min(8, os.cpu_count() or 1)
         arr = (ctypes.c_char_p * len(ds.img_files))(
             *[f.encode() for f in ds.img_files])
@@ -122,11 +138,35 @@ class NativeLoader:
             self.all_labels[i, :k] = l[:k]
             self.all_masks[i, :k] = True
 
-    def __len__(self) -> int:
-        return self.lib.ryt_num_batches(self.handle)
+    def _epoch_order(self, epoch: int,
+                     image_weights: "np.ndarray | None") -> np.ndarray:
+        """Identical policy (and rng stream) to Loader.epoch."""
+        if image_weights is not None:
+            w = np.asarray(image_weights, np.float64)
+            if w.sum() <= 0:
+                w = np.ones_like(w)
+            w = w / w.sum()
+            idx = np.random.default_rng(self.seed + epoch).choice(
+                len(self.ds), size=len(self.ds), replace=True, p=w)
+        else:
+            idx = np.arange(len(self.ds))
+            if self.shuffle:
+                np.random.default_rng(self.seed + epoch).shuffle(idx)
+        return idx[self.shard_index::self.num_shards]
 
-    def epoch(self, epoch: int = 0) -> Iterator[dict]:
-        self.lib.ryt_start_epoch(self.handle, epoch)
+    def __len__(self) -> int:
+        n = -(-len(self.ds) // self.num_shards)   # ceil per-shard items
+        return -(-n // self.bs)                   # partial tail included
+
+    def epoch(self, epoch: int = 0,
+              image_weights: "np.ndarray | None" = None) -> Iterator[dict]:
+        idx = np.ascontiguousarray(
+            self._epoch_order(epoch, image_weights), np.int32)
+        if getattr(self.ds, "_cache_mode", None) is not None:
+            yield from self._epoch_cached(idx)
+            return
+        self.lib.ryt_start_epoch_order(
+            self.handle, idx.ctypes.data_as(ctypes.c_void_p), len(idx))
         S = self.ds.img_size
         while True:
             images = np.empty((self.bs, S, S, 3), np.uint8)
@@ -139,11 +179,31 @@ class NativeLoader:
                 indices.ctypes.data_as(ctypes.c_void_p), ctypes.byref(count))
             if not ok:
                 break
-            idx = np.clip(indices, 0, len(self.ds.img_files) - 1)
+            idx_b = np.clip(indices, 0, len(self.ds.img_files) - 1)
             yield dict(images=images, hw=hw,
-                       labels=self.all_labels[idx],
-                       mask=self.all_masks[idx]
+                       labels=self.all_labels[idx_b],
+                       mask=self.all_masks[idx_b]
                        & (np.arange(self.bs) < count.value)[:, None],
+                       indices=indices)
+
+    def _epoch_cached(self, idx: np.ndarray) -> Iterator[dict]:
+        """Pre-decoded dataset: batches are pure gathers (pads the tail
+        batch with masked slots, matching the C++ path's partial batch)."""
+        S = self.ds.img_size
+        for b0 in range(0, len(idx), self.bs):
+            sel = idx[b0:b0 + self.bs]
+            n = len(sel)
+            images = np.full((self.bs, S, S, 3), 114, np.uint8)
+            hw = np.zeros((self.bs, 2), np.float32)
+            indices = np.full((self.bs,), -1, np.int32)
+            for j, i in enumerate(sel):
+                canvas, chw, _, _, _ = self.ds.load_item(int(i))
+                images[j], hw[j], indices[j] = canvas, chw, i
+            idx_b = np.clip(indices, 0, len(self.ds.img_files) - 1)
+            yield dict(images=images, hw=hw,
+                       labels=self.all_labels[idx_b],
+                       mask=self.all_masks[idx_b]
+                       & (np.arange(self.bs) < n)[:, None],
                        indices=indices)
 
     def close(self):

@@ -304,6 +304,56 @@ def decode_predictions(ps: Sequence[jax.Array], anchors_px: jax.Array,
     return jnp.concatenate(outs, axis=1)
 
 
+def decode_topk(ps: Sequence[jax.Array], anchors_px: jax.Array,
+                strides: Sequence[float], k: int = 1024) -> jax.Array:
+    """Serving-path decode: select the top-`k` candidates on the RAW
+    objectness logits, then decode only those k rows in f32.
+
+    The exact path (decode_predictions) sigmoids + transposes the full
+    (B, N, no) map stack (N=25200 at 640px) before NMS discards all but
+    ~1k rows; at b32 that is ~3 ms of elementwise + relayout traffic.
+    Sigmoid is monotonic, so for nc==1 models (score == obj, reference
+    utils/general.py:994-996) ranking raw obj logits selects EXACTLY the
+    same candidate set — this path is exact for the flagship. For nc>1
+    it is an obj-only prefilter (score = obj*cls may reorder the tail);
+    callers needing exact multi-class semantics use the full decode.
+
+    Grid/anchor/stride constants are folded into one (N, 5) table that
+    XLA constant-folds; only a (B, k, 5) gather + tiny f32 math runs per
+    step. Rows come out score-descending (not the reference's torch row
+    order — NMS is order-insensitive past score sorting).
+    Decode semantics match reference models/yolo.py:129-130.
+    """
+    import numpy as np
+
+    no = ps[0].shape[-1]
+    flats, tables = [], []
+    for i, p in enumerate(ps):
+        b, h, w, na, _ = p.shape
+        flats.append(p.reshape(b, h * w * na, no))
+        # constant per-slot [grid_x, grid_y, anchor_w, anchor_h, stride]
+        # in the same natural (h, w, a) flatten order as the reshape
+        gy, gx = np.mgrid[0:h, 0:w]
+        g = np.stack([gx, gy], -1)[:, :, None, :]
+        g = np.broadcast_to(g, (h, w, na, 2)).reshape(-1, 2)
+        a = np.broadcast_to(np.asarray(anchors_px)[i][None, None],
+                            (h, w, na, 2)).reshape(-1, 2)
+        s = np.full((h * w * na, 1), strides[i], np.float32)
+        tables.append(np.concatenate([g, a, s], 1).astype(np.float32))
+    raw = jnp.concatenate(flats, axis=1)                 # (B, N, no)
+    table = jnp.asarray(np.concatenate(tables, 0))       # (N, 5)
+    k = min(k, raw.shape[1])
+    obj = raw[..., 4].astype(jnp.float32)                # logits
+    _, idx = jax.lax.top_k(obj, k)                       # (B, k)
+    sel = jnp.take_along_axis(raw, idx[..., None], axis=1).astype(
+        jnp.float32)
+    t = table[idx]                                       # (B, k, 5)
+    y = jax.nn.sigmoid(sel)
+    xy = (y[..., 0:2] * 2.0 - 0.5 + t[..., 0:2]) * t[..., 4:5]
+    wh = (y[..., 2:4] * 2.0) ** 2 * t[..., 2:4]
+    return jnp.concatenate([xy, wh, y[..., 4:]], axis=-1)
+
+
 def decode_level_bin(p: jax.Array, anchors_px: jax.Array, stride: float,
                      bin_count: int = 21, nc: int = 1) -> jax.Array:
     """Decode one IBin raw map to (B, H*W*na, nc+5) pixel predictions

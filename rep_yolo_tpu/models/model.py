@@ -121,6 +121,21 @@ class RepYOLO:
             return jnp.concatenate(outs, axis=1)
         return heads_lib.decode_predictions(maps, anchors, self.strides)
 
+    def predict_topk(self, variables: dict, x: jax.Array,
+                     k: int = 1024) -> jax.Array:
+        """Serving-path inference: (B, k, no) f32 predictions holding the
+        top-k candidates by objectness, decoded after selection (see
+        heads.decode_topk — exact for nc==1, obj-prefiltered for nc>1).
+        Standard heads only (Detect/IDetect/IAuxDetect lead maps)."""
+        spec = self.head_spec
+        if spec.name in ("IBin", "IKeypoint"):
+            return self.predict(variables, x)   # exotic decode: full path
+        maps = self.net.apply(variables, x, train=False)[: self.cfg.nl]
+        # anchors stay host-side numpy: decode_topk folds them into a
+        # compile-time constant table (a traced array would break that)
+        return heads_lib.decode_topk(maps, self.anchors_px, self.strides,
+                                     k=k)
+
     def predict_tta(self, variables: dict, x: jax.Array) -> jax.Array:
         """Test-time-augmented inference (reference models/yolo.py:569-585):
         3 scales (1.0, 0.83, 0.67) x flips (none, lr, none), decoded preds

@@ -198,15 +198,18 @@ def set_cmajor_deploy(mode: str | None, scales: dict[str, float] | None = None,
     """Enable the DER deploy fast path. `scales`: ops/quant.calibrate
     output ({ConvUnit scope path: act scale}), required for the q8 modes.
     `select(c1, h, w) -> bool` limits which DER blocks use it (default:
-    thin blocks, c1 <= 64)."""
+    c1 <= 128 — the round-4 gate sweep on the flagship at 640px b32
+    measured 64 -> 578, 128 -> 597, 512 -> 586 img/s: l5 (c1=128 @80x80)
+    wins in-region, l7's 3x3 256->256 @40x40 loses, matching the
+    BASELINE.md PTQ probe table)."""
     global CMAJOR_DEPLOY, CMAJOR_SCALES, _CMAJOR_SELECT
     assert mode in (None, "q8", "xla_q8", "bf16"), mode
     CMAJOR_DEPLOY = mode
     CMAJOR_SCALES = dict(scales or {})
-    _CMAJOR_SELECT = select or (lambda c1, h, w: c1 <= 64)
+    _CMAJOR_SELECT = select or (lambda c1, h, w: c1 <= 128)
 
 
-_CMAJOR_SELECT = lambda c1, h, w: c1 <= 64
+_CMAJOR_SELECT = lambda c1, h, w: c1 <= 128
 
 # Trace-time flag: route 3x3/s1 convs through the Pallas wgrad kernel
 # in the backward (ops/pallas/wgrad_kernel.py — XLA runs thin-conv

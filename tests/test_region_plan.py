@@ -65,7 +65,7 @@ def _plan_with(flagship, scales):
         B.set_cmajor_deploy(None)
 
 
-def test_flagship_region_spans_stem_to_l3(flagship):
+def test_flagship_region_spans_stem_to_l5(flagship):
     plan = _plan_with(flagship, flagship[3])
     # l0 stem enters the region and emits int8 for l1
     assert plan[0].startswith("region entry"), plan[0]
@@ -73,13 +73,16 @@ def test_flagship_region_spans_stem_to_l3(flagship):
     # l1 consumes int8 and stays in-region, emitting for l3
     assert plan[1].startswith("in-region DER"), plan[1]
     assert "int8 in" in plan[1] and "st1(l3)" in plan[1]
-    # the MP between them pools flat int8 without leaving the layout
+    # the MPs between pool flat int8 without leaving the layout
     assert plan[2] == "in-region flat int8 pool", plan[2]
-    # l3 (c1=48) consumes int8; with the default c1<=64 gate its
-    # successor l5 (c1=128) is out-of-region, so l3 exits in NHWC
-    assert "int8 in" in plan[3], plan[3]
-    # deep blocks are out of the default gate
-    assert "select gate or calibration declined" in plan.get(5, ""), plan.get(5)
+    assert plan[4] == "in-region flat int8 pool", plan[4]
+    # l3 chains into l5 (default gate c1 <= 128, round-4 sweep)
+    assert "int8 in" in plan[3] and "st1(l5)" in plan[3], plan[3]
+    # l5 consumes int8 and exits NHWC (l7 c1=256 is out of the gate:
+    # its 3x3 256->256 @40x40 int8 measured slower than XLA bf16)
+    assert "int8 in" in plan[5], plan[5]
+    assert "st1(l7)" not in plan[5], plan[5]
+    assert "select gate or calibration declined" in plan.get(7, ""), plan.get(7)
 
 
 def test_missing_scale_warns_not_silent(flagship, caplog):

@@ -95,7 +95,7 @@ def main():
                    choices=["bf16", "q8", "xla_q8"],
                    help="DER deploy fast path (blocks.set_cmajor_deploy); "
                         "q8 modes calibrate on one random batch first")
-    p.add_argument("--der-max-c1", type=int, default=64,
+    p.add_argument("--der-max-c1", type=int, default=128,
                    help="channel-width gate for the DER fast path "
                         "(c1 <= this); 512 = whole backbone channel-major")
     p.add_argument("--trace", default=None, metavar="DIR")
@@ -137,8 +137,16 @@ def main():
                                   max_nms=1024)
         return det.scores.sum()
 
+    def pred_nms_topk(v, xc):
+        # serving path: rank raw obj logits, decode only the top-k
+        # (exact for nc==1 — heads.decode_topk)
+        pred = deploy.predict_topk(v, xc)
+        det = non_max_suppression(pred, 0.25, 0.45, max_nms=1024)
+        return det.scores.sum()
+
     loop = slope(fwd, fused, x, "fwd raw maps", batch)
     slope(pred_nms, fused, x, "predict + NMS", batch)
+    slope(pred_nms_topk, fused, x, "predict(topk) + NMS", batch)
 
     if opts.trace:
         with jax.profiler.trace(opts.trace):
