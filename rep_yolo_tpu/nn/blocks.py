@@ -72,26 +72,14 @@ def _use_fused_attention(h: int, w: int) -> bool:
     return FUSED_ATTENTION_MAX_HW is None or h * w <= FUSED_ATTENTION_MAX_HW
 
 
-# Fused training-BN statistics in RepSBlock: the skip/scale/conv branches
-# each run their own BatchNorm over a (B,H,W,c2) tensor, so every stat is
-# a separate c2-lane reduce (48/128 = 37% lane fill in l1; the b8 train
-# trace attributes ~18 ms/step to these reduce_sums). The fused path
-# concatenates the branch tensors channel-wise and computes ALL branch
-# stats in one (2+N)*c2-lane reduce + one normalize/sum fusion —
-# mathematically identical (BN is per-channel), parameter-tree identical
-# (stats declared at the same rbr_*/norm paths). Off by default until
-# measured on hardware; enable with set_fused_train_bn(True).
-FUSED_TRAIN_BN = False
-
-
-def set_fused_train_bn(enabled: bool) -> None:
-    """Trace-time global (same contract as set_conv_precision): call
-    BEFORE the first traced train step. Toggling after a step has been
-    jit-compiled is silently ignored — jit caches are not keyed on this
-    flag, so the cached executable keeps whatever value was set when it
-    was traced. Process-global, not per-model."""
-    global FUSED_TRAIN_BN
-    FUSED_TRAIN_BN = enabled
+# Fused training-BN statistics: REMOVED after two hardware measurements.
+# The idea (one concat reduce for all RepSBlock branch-BN stats instead
+# of per-branch c2-lane reduces) lost both times on a v5e: the first
+# variant regressed b8 189 -> 255 ms/step (the (B,H,W,G*c) f32 concat
+# materialized through fwd+bwd), the normalize-per-branch rework
+# regressed 188 -> 222 ms/step (round 4, same-session A/B). XLA already
+# fuses the per-branch stats well enough that the concat's extra HBM
+# traffic dominates. See BASELINE.md round-4 training table.
 
 
 def autopad(k: int, p: int | None = None) -> int:
@@ -570,51 +558,11 @@ class RepSBlock(nn.Module):
                 b = ConvUnit(self.c2, self.k, self.s, self.p,
                              name=f"rbr_conv_{i}_conv")(x)
                 parts.append((b, f"rbr_conv_{i}_bn"))
-        if FUSED_TRAIN_BN and train:
-            return jax.nn.silu(self._fused_bn_sum(parts))
         out = None
         for t, name in parts:
             b = BN(name=name)(t, train)
             out = b if out is None else out + b
         return jax.nn.silu(out)
-
-    def _fused_bn_sum(self, parts) -> jax.Array:
-        """All branch BatchNorms as ONE stats reduce + one normalize/sum.
-
-        BN is per-channel, so stats of the channel-concat equal the
-        per-branch stats exactly; the concat reduce fills (2+N)*c2 MXU
-        lanes instead of c2 and the normalize + branch sum become one
-        elementwise fusion. Mirrors flax BatchNorm numerics: f32 fast
-        variance clipped at 0 (flax _compute_stats), f32 normalize cast
-        to the input dtype (flax _normalize with dtype=x.dtype for bf16,
-        None for f32 — both land on this), running stats updated with the
-        same momentum law outside init."""
-        c = parts[0][0].shape[-1]
-        decl = [_NestedBNParams(c, name=name)() for _, name in parts]
-        # Stats from ONE concat reduce; the concat is consumed only by
-        # the two means (fusable, no elementwise materialization). First
-        # measurement (concat normalize + reshape/sum variant) regressed
-        # b8 189 -> 255 ms/step — the (B,H,W,G*c) f32 concat materialized
-        # through fwd+bwd; this variant normalizes per-branch so the
-        # elementwise path stays on the original tensors.
-        t = jnp.concatenate([p for p, _ in parts], axis=-1)
-        tf = t.astype(jnp.float32)
-        mu = tf.mean((0, 1, 2))
-        mu2 = (tf * tf).mean((0, 1, 2))
-        var = jnp.maximum(0.0, mu2 - mu * mu)
-        mul = jax.lax.rsqrt(var + BN_EPS)
-        out = None
-        for g, ((part, _), (sc, bi, rm, rv)) in enumerate(zip(parts, decl)):
-            sl = slice(g * c, (g + 1) * c)
-            if not self.is_initializing():
-                rm.value = (BN_MOMENTUM * rm.value
-                            + (1.0 - BN_MOMENTUM) * mu[sl])
-                rv.value = (BN_MOMENTUM * rv.value
-                            + (1.0 - BN_MOMENTUM) * var[sl])
-            y = ((part.astype(jnp.float32) - mu[sl]) * (mul[sl] * sc)
-                 + bi).astype(part.dtype)
-            out = y if out is None else out + y
-        return out
 
     def _stem_fast_q8(self, x: jax.Array) -> jax.Array | None:
         """Thin stride-2 stem directly into the flat int8 region: quantize
@@ -1081,6 +1029,56 @@ class CA(nn.Module):
         return pooled * jax.nn.sigmoid(h) + pooled
 
 
+def _densify_grouped_1x1(kern: jax.Array, c1: int, cout: int,
+                         g: int) -> jax.Array:
+    """Grouped 1x1 conv kernel (1,1,c1/g,cout) -> dense (c1, cout) f32
+    block-diagonal matrix (output o reads input group o // (cout/g))."""
+    k2 = kern[0, 0].astype(jnp.float32)        # (c1/g, cout)
+    cin_g, cout_g = c1 // g, cout // g
+    w = jnp.zeros((c1, cout), jnp.float32)
+    for gi in range(g):
+        w = w.at[gi * cin_g:(gi + 1) * cin_g,
+                 gi * cout_g:(gi + 1) * cout_g].set(
+            k2[:, gi * cout_g:(gi + 1) * cout_g])
+    return w
+
+
+def _axial_consts(c1: int):
+    """Declare the axial-attention projection params at the REGULAR
+    deploy module paths (query_conv/key_conv/value_conv ConvUnits + the
+    shared 'bn' and value 'bn1' BatchNorms — reference
+    models/common.py:3686-3704) and fold them into the packed constants
+    the absorbed Pallas kernels take (ops/pallas/axial_attention.py
+    v2 docstring): wqk (2*c8, c1), pv (4, c1), pq (4, c8). Must be
+    called inside an @nn.compact attention module in deploy mode."""
+    c8 = c1 // 8
+    g8 = dw_groups(c1, c8)
+    kq, bq = _NestedConvParams(("conv",), (1, 1, c1 // g8, c8), c1 // g8,
+                               True, name="query_conv")()
+    kk, bk = _NestedConvParams(("conv",), (1, 1, c1 // g8, c8), c1 // g8,
+                               True, name="key_conv")()
+    kv, bv = _NestedConvParams(("conv",), (1, 1, 1, c1), 1, True,
+                               name="value_conv")()
+    s_qk, b_qk, m_qk, v_qk = _NestedBNParams(c8, name="bn")()
+    s_v, b_v, m_v, v_v = _NestedBNParams(c1, name="bn1")()
+    wq = _densify_grouped_1x1(kq, c1, c8, g8)
+    wk = _densify_grouped_1x1(kk, c1, c8, g8)
+    wqk = jnp.concatenate([jnp.transpose(wq), jnp.transpose(wk)], axis=0)
+    a_qk = s_qk * jax.lax.rsqrt(v_qk.value + BN_EPS)
+    c_qk = b_qk - m_qk.value * a_qk
+    a_v = s_v * jax.lax.rsqrt(v_v.value + BN_EPS)
+    c_v = b_v - m_v.value * a_v
+    # pq rows pre-concatenated for the stacked q;k dot (the kernel's
+    # constant broadcasts must stay 2D — see the v2 kernel docstring)
+    pq = jnp.stack([
+        jnp.concatenate([bq.astype(jnp.float32), bk.astype(jnp.float32)]),
+        jnp.concatenate([a_qk, a_qk]),
+        jnp.concatenate([c_qk, c_qk])])
+    pv = jnp.stack([kv[0, 0, 0].astype(jnp.float32),
+                    bv.astype(jnp.float32), a_v, c_v])
+    return wqk, pv, pq
+
+
 class CrissCrossAttention(nn.Module):
     """Axial (criss-cross) attention: row + column energies, joint softmax
     over H+W, learned scalar gamma residual (reference
@@ -1100,6 +1098,16 @@ class CrissCrossAttention(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         c8 = self.c1 // 8
         H, W = x.shape[1], x.shape[2]
+        if (self.deploy and not train and _use_fused_attention(H, W)):
+            from rep_yolo_tpu.ops.pallas import axial_attention as _ax
+            if _ax.fits(H, W, self.c1):
+                # absorbed-projection kernel: only x and one transpose
+                # of it cross the custom-call boundary (the v1 kernels'
+                # pre-transposed q/k/v operands cascaded relayouts into
+                # unrelated layers — BASELINE.md round-2/3)
+                wqk, pv, pq = _axial_consts(self.c1)
+                gamma = self.param("gamma", nn.initializers.zeros, (1,))
+                return _ax.criss_cross_fused_x(x, wqk, pv, pq, gamma)
         g8 = dw_groups(self.c1, c8)
         bn_qk = BN(name="bn")       # shared between q and k
         bn_v = BN(name="bn1")
@@ -1167,6 +1175,13 @@ class VerticalAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         c8 = self.c1 // 8
+        if (self.deploy and not train
+                and _use_fused_attention(x.shape[1], x.shape[2])):
+            from rep_yolo_tpu.ops.pallas import axial_attention as _ax
+            if _ax.fits(x.shape[1], x.shape[2], self.c1):
+                wqk, pv, pq = _axial_consts(self.c1)
+                gamma = self.param("gamma", nn.initializers.zeros, (1,))
+                return _ax.vertical_fused_x(x, wqk, pv, pq, gamma)
         g8 = dw_groups(self.c1, c8)
         bn_qk = BN(name="bn")       # shared between q and k (reference quirk)
         bn_v = BN(name="bn1")

@@ -147,6 +147,150 @@ def _axis_attention(qs, ks, v, *, softmax: bool, out_dtype):
     )(qs, ks, v)
 
 
+# ---------------------------------------------------------------------------
+# v2 kernels: projections absorbed (x in -> branch out)
+# ---------------------------------------------------------------------------
+#
+# The round-2/3 finding (BASELINE.md): the v1 kernels beat XLA in
+# isolation but regress the full forward — their three pre-transposed
+# q/k/v operands carry custom-call layout constraints that cascade
+# relayout copies into unrelated layers. These v2 kernels take the
+# block INPUT x instead and compute the q/k/v projections inside:
+#
+#   q = relu6(bn_qk(silu(x @ Wq + bq)))   (grouped 1x1 densified, BN as
+#   k = relu6(bn_qk(silu(x @ Wk + bk)))    a folded affine — deploy mode
+#   v = relu6(bn_v (silu(x * wv + bv)))    runs on running stats)
+#
+# so the only tensors crossing the custom-call boundary are x (natural
+# layout), one XLA transpose of x for the column branch, and the
+# branch outputs. The projection math is exactly the deploy path of
+# CrissCrossAttention/VerticalAttention (reference models/common.py:
+# 3686-3704): conv -> SiLU -> shared-BN -> ReLU6, with q/k sharing one
+# BN and v owning bn1. Weight packing (nn/blocks.py _axial_consts):
+#   wqk (2*c8, C) = [Wq^T ; Wk^T] densified from the grouped kernels;
+#   pq  (3, 2*c8) = [[bq;bk], [a_qk;a_qk], [c_qk;c_qk]]  (y = x*a + c);
+#   pv  (4, C)    = [wv, bv, a_v, c_v]    (depthwise value conv).
+
+
+def _axis_kernel_x(softmax: bool, c8: int):
+    """One axial branch from x: in-kernel projections + energies +
+    (optional) local softmax + aggregation.
+
+    Refs (leading block dim of 1 stripped):
+      x:   (T, N, C) input tile (T tiled rows/cols, N attended axis)
+      wqk: (2*c8, C); pv: (4, C); pq: (3, 2*c8)
+      out: (T, N, C); m, s: (T, N) f32 (softmax only)
+    """
+    def project(x_ref, wqk_ref, pv_ref, pq_ref):
+        xb = x_ref[0].astype(jnp.float32)                 # (T, N, C)
+        wqk = wqk_ref[:, :]                               # (2c8, C)
+        # stacked matmul (T*N rows x C) @ (C x 2c8) — the one dot form
+        # Mosaic lowers unconditionally; q and k share it. All constant
+        # broadcasts below stay 2D-sliced ((1, D)[None] -> (1,1,D)):
+        # in-kernel 1D vectors (pq[0], jnp.concatenate of rows) SIGABRT
+        # the Mosaic compiler on this target.
+        qk = jax.lax.dot_general(xb, wqk, (((2,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        qk = jnp.clip(jax.nn.silu(qk + pq_ref[0:1, :][None])
+                      * pq_ref[1:2, :][None] + pq_ref[2:3, :][None],
+                      0.0, 6.0)
+        v = jax.nn.silu(xb * pv_ref[0:1, :][None] + pv_ref[1:2, :][None])
+        v = jnp.clip(v * pv_ref[2:3, :][None] + pv_ref[3:4, :][None],
+                     0.0, 6.0).astype(x_ref.dtype)        # (T, N, C)
+        # (T, 2c8, N): head dim to sublanes — the proven v1 energy form
+        qk_t = jnp.transpose(qk, (0, 2, 1))
+        e = jax.lax.dot_general(
+            qk_t[:, :c8], qk_t[:, c8:], (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        return e, v                                        # (T,N,N),(T,N,C)
+
+    if softmax:
+        def kernel(x_ref, wqk_ref, pv_ref, pq_ref, o_ref, m_ref, s_ref):
+            e, v = project(x_ref, wqk_ref, pv_ref, pq_ref)
+            m = jnp.max(e, axis=-1)
+            p = jnp.exp(e - m[:, :, None])
+            s = jnp.sum(p, axis=-1)
+            o = _bdot(p.astype(v.dtype), v, 2, 1)
+            o_ref[0] = o.astype(o_ref.dtype)
+            m_ref[0] = m
+            s_ref[0] = s
+    else:
+        def kernel(x_ref, wqk_ref, pv_ref, pq_ref, o_ref):
+            e, v = project(x_ref, wqk_ref, pv_ref, pq_ref)
+            o = _bdot(e.astype(v.dtype), v, 2, 1)
+            o_ref[0] = o.astype(o_ref.dtype)
+    return kernel
+
+
+def _axis_attention_x(x, wqk, pv, pq, *, softmax: bool):
+    """Run one axial branch from x: (B, M, N, C) where M is the tiled
+    (independent) axis and N the attended axis."""
+    B, M, N, C = x.shape
+    c8 = pq.shape[1] // 2
+    T = _tile(M, N)
+    vm = pltpu.VMEM
+    grid = (B, M // T)
+    in_specs = [
+        pl.BlockSpec((1, T, N, C), lambda b, i: (b, i, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec(wqk.shape, lambda b, i: (0, 0), memory_space=vm),
+        pl.BlockSpec(pv.shape, lambda b, i: (0, 0), memory_space=vm),
+        pl.BlockSpec(pq.shape, lambda b, i: (0, 0), memory_space=vm),
+    ]
+    o_spec = pl.BlockSpec((1, T, N, C), lambda b, i: (b, i, 0, 0),
+                          memory_space=vm)
+    interp = jax.default_backend() != "tpu"
+    if softmax:
+        st_spec = pl.BlockSpec((1, T, N), lambda b, i: (b, i, 0),
+                               memory_space=vm)
+        return pl.pallas_call(
+            _axis_kernel_x(True, c8), grid=grid, in_specs=in_specs,
+            out_specs=[o_spec, st_spec, st_spec],
+            out_shape=[jax.ShapeDtypeStruct((B, M, N, C), x.dtype),
+                       jax.ShapeDtypeStruct((B, M, N), jnp.float32),
+                       jax.ShapeDtypeStruct((B, M, N), jnp.float32)],
+            interpret=interp,
+        )(x, wqk, pv, pq)
+    return pl.pallas_call(
+        _axis_kernel_x(False, c8), grid=grid, in_specs=in_specs,
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((B, M, N, C), x.dtype),
+        interpret=interp,
+    )(x, wqk, pv, pq)
+
+
+@jax.jit
+def criss_cross_fused_x(x: jax.Array, wqk: jax.Array, pv: jax.Array,
+                        pq: jax.Array, gamma: jax.Array) -> jax.Array:
+    """Whole criss-cross block from x (projections absorbed): returns
+    gamma * joint_softmax_attention + x. Boundary tensors: x and one
+    XLA transpose of it."""
+    o_w, m_w, s_w = _axis_attention_x(x, wqk, pv, pq, softmax=True)
+    xt = jnp.transpose(x, (0, 2, 1, 3))
+    o_ht, m_ht, s_ht = _axis_attention_x(xt, wqk, pv, pq, softmax=True)
+    o_h = jnp.transpose(o_ht, (0, 2, 1, 3))
+    m_h = jnp.transpose(m_ht, (0, 2, 1))
+    s_h = jnp.transpose(s_ht, (0, 2, 1))
+    m = jnp.maximum(m_w, m_h)
+    a_w = jnp.exp(m_w - m)
+    a_h = jnp.exp(m_h - m)
+    num = (o_w.astype(jnp.float32) * a_w[..., None]
+           + o_h.astype(jnp.float32) * a_h[..., None])
+    den = s_w * a_w + s_h * a_h
+    out = (num / den[..., None]).astype(x.dtype)
+    return gamma * out + x
+
+
+@jax.jit
+def vertical_fused_x(x: jax.Array, wqk: jax.Array, pv: jax.Array,
+                     pq: jax.Array, gamma: jax.Array) -> jax.Array:
+    """Whole vertical block from x (raw-energy quirk preserved —
+    reference models/common.py:3770-3777)."""
+    xt = jnp.transpose(x, (0, 2, 1, 3))
+    o_ht = _axis_attention_x(xt, wqk, pv, pq, softmax=False)
+    return gamma * jnp.transpose(o_ht, (0, 2, 1, 3)) + x
+
+
 @jax.jit
 def criss_cross_fused(q: jax.Array, k: jax.Array, v: jax.Array,
                       x: jax.Array, gamma: jax.Array) -> jax.Array:

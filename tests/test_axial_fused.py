@@ -73,3 +73,60 @@ def test_train_mode_ignores_flag():
     y, _ = mod.apply(variables, x, True, mutable=["batch_stats"],
                      rngs={"dropout": jax.random.PRNGKey(6)})
     assert y.shape == x.shape
+
+
+def _randomize_stats(variables, seed=7):
+    """Non-trivial BN running stats so the v2 affine fold is exercised."""
+    rng = np.random.default_rng(seed)
+    stats = jax.tree.map(
+        lambda a: jnp.asarray(
+            rng.uniform(0.5, 1.5, a.shape).astype(np.float32))
+        if a.ndim >= 1 else a, variables["batch_stats"])
+    return {**variables, "batch_stats": stats}
+
+
+def _run_both_deploy(module_cls, c1, h, w, seed=0):
+    """v2 absorbed-projection kernels vs the regular deploy path: the
+    fused branch declares the SAME param tree via _NestedConvParams /
+    _NestedBNParams, so one set of variables drives both."""
+    x = jax.random.normal(jax.random.PRNGKey(seed), (2, h, w, c1),
+                          jnp.float32)
+    mod = module_cls(c1, deploy=True)
+    variables = mod.init(jax.random.PRNGKey(1), x, False)
+    variables = _randomize_stats(variables)
+    params = dict(variables["params"])
+    params["gamma"] = jnp.array([0.7], jnp.float32)
+    variables = {**variables, "params": params}
+
+    B.set_fused_attention(False)
+    y_ref = mod.apply(variables, x, False)
+    B.set_fused_attention(True)
+    y_fused = mod.apply(variables, x, False)
+    return np.asarray(y_ref), np.asarray(y_fused)
+
+
+def test_criss_cross_fused_x_matches_deploy():
+    y_ref, y_fused = _run_both_deploy(B.CrissCrossAttention, c1=16, h=12,
+                                      w=10)
+    np.testing.assert_allclose(y_fused, y_ref, atol=1e-4, rtol=1e-4)
+
+
+def test_vertical_fused_x_matches_deploy():
+    y_ref, y_fused = _run_both_deploy(B.VerticalAttention, c1=16, h=10,
+                                      w=12)
+    np.testing.assert_allclose(y_fused, y_ref, atol=1e-4, rtol=1e-4)
+
+
+def test_ccva_block_fused_x_matches_deploy():
+    c1 = 32
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, c1), jnp.float32)
+    mod = B.CCVA(c1, deploy=True)
+    variables = mod.init(jax.random.PRNGKey(3), x, False)
+    variables = _randomize_stats(variables)
+
+    B.set_fused_attention(False)
+    y_ref = mod.apply(variables, x, False)
+    B.set_fused_attention(True)
+    y_fused = mod.apply(variables, x, False)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               atol=1e-4, rtol=1e-4)

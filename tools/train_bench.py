@@ -52,9 +52,12 @@ def main():
     p.add_argument("--wgrad", action="store_true",
                    help="Pallas weight-gradient backward for thin 3x3 "
                         "convs (nn.blocks.set_pallas_wgrad)")
-    p.add_argument("--fused-bn", action="store_true",
-                   help="fused branch-BN statistics in RepSBlock "
-                        "(nn.blocks.set_fused_train_bn)")
+    p.add_argument("--cfg", default="cfg/rep_yolo.yaml",
+                   help="model config (e.g. cfg/rep_yolo_p6_aux.yaml "
+                        "for the 1280px aux-head north-star config)")
+    p.add_argument("--aux", action="store_true",
+                   help="aux-OTA loss (IAuxDetect heads, reference "
+                        "train_aux.py:300,362)")
     p.add_argument("--trace", default=None, metavar="DIR")
     args = p.parse_args()
 
@@ -62,10 +65,6 @@ def main():
         import rep_yolo_tpu.nn.blocks as blocks_lib
 
         blocks_lib.set_pallas_wgrad(True)
-    if args.fused_bn:
-        import rep_yolo_tpu.nn.blocks as blocks_lib
-
-        blocks_lib.set_fused_train_bn(True)
 
     from rep_yolo_tpu.models.model import RepYOLO
     from rep_yolo_tpu.train import optim as optim_lib
@@ -73,7 +72,7 @@ def main():
     from rep_yolo_tpu.train.loss import LossConfig, balance_for
     from rep_yolo_tpu.train.trainer import create_train_state, make_train_step
 
-    model = RepYOLO.from_config("cfg/rep_yolo.yaml", remat=args.remat)
+    model = RepYOLO.from_config(args.cfg, remat=args.remat)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         variables = model.init(jax.random.PRNGKey(0), img_size=args.img)
@@ -100,7 +99,9 @@ def main():
         augment_fn = (lambda im, hw_, lb, mk, k:
                       augment_batch(im, hw_, lb, mk, k, aug_cfg))
     step = make_train_step(model, loss_cfg, opt_cfg, args.img,
-                           loss_mode="classic" if args.classic else "ota",
+                           loss_mode=("aux_ota" if args.aux
+                                      else "classic" if args.classic
+                                      else "ota"),
                            mixed_precision=not args.no_bf16,
                            augment_fn=augment_fn, accumulate=args.accum)
 
@@ -154,11 +155,10 @@ def main():
     t_2n = statistics.median(timed(2 * ITERS) for _ in range(3))
     dt = max((t_2n - t_n) / ITERS, 1e-9)
     print(f"train step b{B} @{S}px "
-          f"{'classic' if args.classic else 'ota'}"
+          f"{'aux-ota' if args.aux else 'classic' if args.classic else 'ota'}"
           f"{' remat' if args.remat else ''}"
           f"{' aug' if args.augment else ''}"
-          f"{' accum' if args.accum else ''}"
-          f"{' fused-bn' if args.fused_bn else ''}: "
+          f"{' accum' if args.accum else ''}: "
           f"{dt * 1000:8.2f} ms/step -> {B / dt:7.1f} img/s", flush=True)
 
     if args.trace:
