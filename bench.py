@@ -242,6 +242,10 @@ def _inner() -> None:
             jax.devices()[0])
         scales = quant.calibrate(deploy, fused, [cal])
         blocks_lib.set_cmajor_deploy("q8", scales)
+        # absorbed-projection fused axial attention: wins alongside the
+        # q8 region at b32 (BASELINE.md round-4; it LOSES in the b128
+        # all-XLA bf16 graph, so it is scoped to this mode)
+        blocks_lib.set_fused_attention(True)
         img_s_b32_q8 = measure(32, make_infer_loop())
         if img_s_b32_q8 > img_s_b32:
             img_s_b32, b32_mode = img_s_b32_q8, "q8"
@@ -249,6 +253,7 @@ def _inner() -> None:
         b32_mode = f"bf16 (q8 failed: {type(e).__name__})"
     finally:
         blocks_lib.set_cmajor_deploy(None)
+        blocks_lib.set_fused_attention(False)
     _emit(round(img_s_b128, 1), round(img_s_b128 / BASELINE_IMG_S, 3),
           {"b32_img_s": round(img_s_b32, 1),
            "b32_vs_baseline": round(img_s_b32 / BASELINE_IMG_S, 3),

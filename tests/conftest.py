@@ -20,7 +20,7 @@ jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the suite is compile-bound on this 1-core
 # box (~16 min cold); warm re-runs skip every unchanged jit compile
 jax.config.update("jax_compilation_cache_dir", "/tmp/ry_test_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 import pathlib
 

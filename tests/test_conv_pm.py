@@ -89,6 +89,7 @@ def test_conv1x1_pm_q8_multi_input_equals_concat(H, W):
         rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_pm_network_q8_gate_parity():
     """Full tiny graph with the q8 fast path (v3 pixel-major kernels)
     vs the plain deploy path: outputs stay within int8 tolerance."""

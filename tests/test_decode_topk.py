@@ -9,14 +9,21 @@ must match. Decode semantics: reference models/yolo.py:129-130.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rep_yolo_tpu.models.model import RepYOLO
 from rep_yolo_tpu.ops.nms import non_max_suppression
 
 
-def test_predict_topk_matches_predict_nms():
+@pytest.fixture(scope="module")
+def tiny():
     model = RepYOLO.from_config("cfg/rep_yolo_tiny_test.yaml")
     variables = model.init(jax.random.PRNGKey(0), img_size=64)
+    return model, variables
+
+
+def test_predict_topk_matches_predict_nms(tiny):
+    model, variables = tiny
     x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
 
     pred = model.predict(variables, x)
@@ -42,11 +49,10 @@ def test_predict_topk_matches_predict_nms():
                                    rtol=1e-4, atol=1e-3)
 
 
-def test_decode_topk_rows_match_exact_decode():
+def test_decode_topk_rows_match_exact_decode(tiny):
     """Every decoded top-k row equals the corresponding exact-decode row
     (same box/obj up to f32-vs-map-dtype), independent of NMS."""
-    model = RepYOLO.from_config("cfg/rep_yolo_tiny_test.yaml")
-    variables = model.init(jax.random.PRNGKey(0), img_size=64)
+    model, variables = tiny
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
 
     exact = np.asarray(model.predict(variables, x)[0], np.float32)
