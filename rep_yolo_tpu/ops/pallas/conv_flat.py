@@ -275,22 +275,23 @@ def _conv3_flat_q8_kernel_whole(x_ref, w_ref, sw_ref, b_ref, y_ref, slab,
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "s_in", "act",
-                                             "out_scale", "row_tile",
-                                             "tap_align"))
+                                             "out_scale", "row_tile"))
 def conv3x3_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
                     s_in: float, H: int, W: int, act: str | None = "silu",
                     out_scale: float | None = None,
-                    row_tile: int | None = None,
-                    tap_align: bool = False) -> jax.Array:
+                    row_tile: int | None = None) -> jax.Array:
     """Fused int8 3x3 stride-1 conv on a flat (B, C, H*W) activation:
     in-kernel halo, quant -> s32 dot -> dequant+bias+act (+requant when
     `out_scale` chains into another quantized conv).
 
     x: (B, C, H*W) float (quantized in-kernel at `s_in`) or already-int8;
     w: (3, 3, C, O) HWIO float; bias: (O,). Returns (B, O, H*W) bf16, or
-    int8 at `out_scale`. `tap_align` pads each im2col tap block to a
-    32-row boundary (aligned VMEM stores at the cost of a wider dot —
-    see _im2col_taps).
+    int8 at `out_scale`.
+
+    (A `tap_align` option — 32-row padding of each im2col tap block for
+    aligned VMEM stores at the cost of a wider dot — was removed in
+    round 4: a 9-round interleaved A/B with a negative control measured
+    it a WASH on all three target shapes; BASELINE.md round-4 table.)
     """
     B, C, HW = x.shape
     assert HW == H * W, (x.shape, H, W)
@@ -298,7 +299,7 @@ def conv3x3_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
     TH = row_tile or pick_row_tile(H, W)
     assert H % TH == 0, (H, TH)
 
-    CP = _round_up(C, 32) if tap_align else C
+    CP = C
     w9 = jnp.transpose(w, (3, 1, 0, 2))                       # (O,3,3,C)
     if CP > C:
         w9 = jnp.pad(w9, ((0, 0), (0, 0), (0, 0), (0, CP - C)))

@@ -32,24 +32,21 @@ def _ref_conv_q8(x_cm, w, bias, k, s_in, act="silu"):
 # W=320 exercises the 64-lane misaligned DMA path; W=64 the aligned one;
 # row_tile=H the single-tile branch; 40x40/80x80 are the deep-DER (l7/l5)
 # geometries where pick_row_tile falls back to the whole height
-@pytest.mark.parametrize("B,C,O,H,W,rt,ta", [
-    (1, 8, 8, 8, 320, 4, False),
-    (2, 16, 24, 16, 64, 8, False),
-    (1, 8, 8, 12, 96, 4, False),
-    (1, 8, 8, 4, 320, 4, False),
-    (1, 16, 16, 40, 40, None, False),
-    (1, 16, 16, 80, 80, None, False),
-    (2, 16, 24, 16, 64, 8, True),
-    (1, 16, 16, 80, 80, None, True),
-    (1, 8, 8, 8, 320, 4, True),
+@pytest.mark.parametrize("B,C,O,H,W,rt", [
+    (1, 8, 8, 8, 320, 4),
+    (2, 16, 24, 16, 64, 8),
+    (1, 8, 8, 12, 96, 4),
+    (1, 8, 8, 4, 320, 4),
+    (1, 16, 16, 40, 40, None),
+    (1, 16, 16, 80, 80, None),
 ])
-def test_conv3x3_flat_q8_matches_emulated(B, C, O, H, W, rt, ta):
+def test_conv3x3_flat_q8_matches_emulated(B, C, O, H, W, rt):
     x = jax.random.uniform(jax.random.PRNGKey(0), (B, C, H, W)) * 2 - 1
     w = jax.random.uniform(jax.random.PRNGKey(1), (3, 3, C, O)) - 0.5
     bias = jax.random.uniform(jax.random.PRNGKey(2), (O,)) - 0.5
     s_in = 1.0 / 127.0
     y = conv3x3_flat_q8(x.reshape(B, C, H * W), w, bias, s_in, H, W,
-                        row_tile=rt, tap_align=ta)
+                        row_tile=rt)
     ref = _ref_conv_q8(x, w, bias, 3, s_in)
     np.testing.assert_allclose(
         np.asarray(y, np.float32).reshape(B, O, H, W), np.asarray(ref),

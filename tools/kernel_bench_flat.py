@@ -87,10 +87,6 @@ def main():
                     xc, w, bias, s, H, W, out_scale=s, row_tile=rt).sum(
                         dtype=jnp.int32).astype(jnp.float32),
                     xf, f"v2 flat q8 {tag} rt={rt}")
-        slope(lambda xc: conv3x3_flat_q8(
-            xc, w, bias, s, H, W, out_scale=s, tap_align=True).sum(
-                dtype=jnp.int32).astype(jnp.float32),
-            xf, f"v2 flat q8 {tag} tap_align")
 
     # 1x1 concat->cv1: v1 = concat + kernel; v2 = 3-ref kernel. The three
     # sections travel as ONE stacked loop-carried array so they don't get
