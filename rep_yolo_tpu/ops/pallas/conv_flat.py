@@ -168,9 +168,77 @@ def _im2col_taps(slab_q, xv, *, C, TH, W, CP=None):
             xv[pl.ds((v * 3 + u) * CP, C), :] = val
 
 
+def _pick_col_chunks(TH: int, W: int) -> int:
+    """Column-chunk count for the software-pipelined tile interior: split
+    the TH*W output columns so each chunk is a 128-multiple >= 512 lanes
+    (chunk boundaries stay lane-tile-aligned; dots stay wide enough to
+    amortize MXU issue). 1 = the single-shot interior."""
+    n = TH * W
+    for k in (4, 2):
+        if n % k == 0 and (n // k) % 128 == 0 and n // k >= 512:
+            return k
+    return 1
+
+
+def _taps_chunk(slab_q, xv, n0, CH, *, C, W, CP):
+    """im2col taps for output columns [n0, n0+CH) only (same math as
+    _im2col_taps, iota offset by n0)."""
+    db = _data_base(W)
+    col = (jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1) + n0) % W
+    left_edge = col == 0
+    right_edge = col == W - 1
+    zero = jnp.zeros((C, CH), slab_q.dtype)
+    for u in range(3):
+        for v in range(3):
+            off = db + u * W + (v - 1) + n0
+            val = slab_q[:, off:off + CH]
+            if v == 0:
+                val = jnp.where(left_edge, zero, val)
+            elif v == 2:
+                val = jnp.where(right_edge, zero, val)
+            xv[pl.ds((v * 3 + u) * CP, C), pl.ds(n0, CH)] = val
+
+
+def _tile_interior(slab_q, xv, w_ref, sw_ref, b_ref, y_ref, *, C, TH, W,
+                   CP, act, s_in, out_scale, out_dtype, col_chunks):
+    """Tile interior: im2col -> int8 MXU dot -> dequant/act/requant.
+
+    col_chunks > 1 software-pipelines the interior over column chunks:
+    chunk k+1's tap extraction (VPU) is issued before chunk k's epilogue
+    (VPU), so the VPU work of one chunk overlaps the MXU dot of the next
+    — the round-3 trace showed the single-shot interior serializing
+    ~0.85 ms of im2col+epilogue behind each 0.9 ms dot on the l1 st
+    shapes (2.53 ms/kernel vs the fill-adjusted ~0.9 roofline)."""
+    if col_chunks <= 1:
+        _im2col_taps(slab_q, xv, C=C, TH=TH, W=W, CP=CP)
+        acc = jnp.dot(w_ref[:, :], xv[:, :],
+                      preferred_element_type=jnp.int32)      # (O, TH*W)
+        y_ref[0, :, :] = _q8_epilogue(acc, sw_ref, b_ref, s_in, act,
+                                      out_scale, out_dtype)
+        return
+    CH = TH * W // col_chunks
+
+    def dot(k):
+        return jnp.dot(w_ref[:, :], xv[:, pl.ds(k * CH, CH)],
+                       preferred_element_type=jnp.int32)     # (O, CH)
+
+    def epi(k, acc):
+        y_ref[0, :, pl.ds(k * CH, CH)] = _q8_epilogue(
+            acc, sw_ref, b_ref, s_in, act, out_scale, out_dtype)
+
+    _taps_chunk(slab_q, xv, 0, CH, C=C, W=W, CP=CP)
+    acc_prev = dot(0)
+    for k in range(1, col_chunks):
+        _taps_chunk(slab_q, xv, k * CH, CH, C=C, W=W, CP=CP)
+        acc_k = dot(k)
+        epi(k - 1, acc_prev)
+        acc_prev = acc_k
+    epi(col_chunks - 1, acc_prev)
+
+
 def _conv3_flat_q8_kernel(x_ref, w_ref, sw_ref, b_ref, y_ref, slab, xv, *,
                           C, O, TH, W, H, act, s_in, out_scale,
-                          out_dtype, CP):
+                          out_dtype, CP, col_chunks=1):
     b = pl.program_id(0)
     i = pl.program_id(1)
     _load_slab(x_ref, slab, b, i, C=C, TH=TH, W=W, H=H)
@@ -180,17 +248,15 @@ def _conv3_flat_q8_kernel(x_ref, w_ref, sw_ref, b_ref, y_ref, slab, xv, *,
         slab_q = jnp.clip(jnp.round(slab[:, :].astype(jnp.float32)
                                     * (1.0 / s_in)), -127, 127
                           ).astype(jnp.int8)
-    _im2col_taps(slab_q, xv, C=C, TH=TH, W=W, CP=CP)
-    acc = jnp.dot(w_ref[:, :], xv[:, :],
-                  preferred_element_type=jnp.int32)          # (O, TH*W)
-    y_ref[0, :, :] = _q8_epilogue(acc, sw_ref, b_ref, s_in, act,
-                                  out_scale, out_dtype)
+    _tile_interior(slab_q, xv, w_ref, sw_ref, b_ref, y_ref, C=C, TH=TH,
+                   W=W, CP=CP, act=act, s_in=s_in, out_scale=out_scale,
+                   out_dtype=out_dtype, col_chunks=col_chunks)
 
 
 def _conv3_flat_q8_kernel_pipe(x_ref, w_ref, sw_ref, b_ref, y_ref,
                                slab_a, slab_b, xv, sem_a, sem_b, *,
                                B, C, O, TH, W, H, act, s_in, out_scale,
-                               out_dtype, CP):
+                               out_dtype, CP, col_chunks=1):
     """Software-pipelined variant: grid (B, n_tiles//2, 2). Each (b, j)
     pair covers tiles 2j (phase h=0, slab A) and 2j+1 (h=1, slab B); the
     NEXT tile's slab DMA is always started before the current tile's
@@ -217,11 +283,10 @@ def _conv3_flat_q8_kernel_pipe(x_ref, w_ref, sw_ref, b_ref, y_ref,
             slab_q = jnp.clip(jnp.round(slab[:, :].astype(jnp.float32)
                                         * (1.0 / s_in)), -127, 127
                               ).astype(jnp.int8)
-        _im2col_taps(slab_q, xv, C=C, TH=TH, W=W, CP=CP)
-        acc = jnp.dot(w_ref[:, :], xv[:, :],
-                      preferred_element_type=jnp.int32)      # (O, TH*W)
-        y_ref[0, :, :] = _q8_epilogue(acc, sw_ref, b_ref, s_in, act,
-                                      out_scale, out_dtype)
+        _tile_interior(slab_q, xv, w_ref, sw_ref, b_ref, y_ref, C=C,
+                       TH=TH, W=W, CP=CP, act=act, s_in=s_in,
+                       out_scale=out_scale, out_dtype=out_dtype,
+                       col_chunks=col_chunks)
 
     @pl.when(h == 0)
     def _phase_a():
@@ -252,7 +317,7 @@ def _conv3_flat_q8_kernel_pipe(x_ref, w_ref, sw_ref, b_ref, y_ref,
 
 def _conv3_flat_q8_kernel_whole(x_ref, w_ref, sw_ref, b_ref, y_ref, slab,
                                 xv, *, C, O, TH, W, H, act, s_in,
-                                out_scale, out_dtype, CP):
+                                out_scale, out_dtype, CP, col_chunks=1):
     """Whole-image variant (H == TH): the image arrives as a VMEM block
     (no manual DMA — small deep-stage images like 40x40 have no
     128-multiple lane extent, so _load_slab's aligned copies cannot
@@ -267,19 +332,20 @@ def _conv3_flat_q8_kernel_whole(x_ref, w_ref, sw_ref, b_ref, y_ref, slab,
     slab[:, pl.ds(db, W)] = zero                       # top halo row
     slab[:, pl.ds(db + W, TH * W)] = xq
     slab[:, pl.ds(db + (TH + 1) * W, W)] = zero        # bottom halo row
-    _im2col_taps(slab[:, :], xv, C=C, TH=TH, W=W, CP=CP)
-    acc = jnp.dot(w_ref[:, :], xv[:, :],
-                  preferred_element_type=jnp.int32)
-    y_ref[0, :, :] = _q8_epilogue(acc, sw_ref, b_ref, s_in, act,
-                                  out_scale, out_dtype)
+    _tile_interior(slab[:, :], xv, w_ref, sw_ref, b_ref, y_ref, C=C,
+                   TH=TH, W=W, CP=CP, act=act, s_in=s_in,
+                   out_scale=out_scale, out_dtype=out_dtype,
+                   col_chunks=col_chunks)
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "s_in", "act",
-                                             "out_scale", "row_tile"))
+                                             "out_scale", "row_tile",
+                                             "col_chunks"))
 def conv3x3_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
                     s_in: float, H: int, W: int, act: str | None = "silu",
                     out_scale: float | None = None,
-                    row_tile: int | None = None) -> jax.Array:
+                    row_tile: int | None = None,
+                    col_chunks: int | None = None) -> jax.Array:
     """Fused int8 3x3 stride-1 conv on a flat (B, C, H*W) activation:
     in-kernel halo, quant -> s32 dot -> dequant+bias+act (+requant when
     `out_scale` chains into another quantized conv).
@@ -320,6 +386,15 @@ def conv3x3_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
 
     out_dtype = jnp.int8 if out_scale is not None else jnp.bfloat16
     n_tiles = H // TH
+    if col_chunks is None:
+        # default: single shot. The chunked interior MEASURED A SLIGHT
+        # LOSS on hardware (round 4, interleaved A/B median-of-5: l1 st
+        # 2.43 -> 2.47 ms, l1 mid 1.15 -> 1.19, l5 st 0.53 -> 0.59) —
+        # Mosaic's own instruction scheduling already overlaps what it
+        # can, and the per-chunk iota/mask/slice bookkeeping adds more
+        # VPU work than the pipelining hides. Kept as an option for
+        # future shapes where the interior dominates differently.
+        col_chunks = 1
     whole = n_tiles == 1 and (TH * W) % 128 != 0
     interpret = jax.default_backend() != "tpu"
     # +256 right guard: DMA round-up slack plus the (u=2, v=2) tap's
@@ -336,7 +411,7 @@ def conv3x3_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
         kernel = functools.partial(
             _conv3_flat_q8_kernel_whole, C=C, O=O, TH=TH, W=W, H=H,
             act=act, s_in=float(s_in), out_scale=out_scale,
-            out_dtype=out_dtype, CP=CP)
+            out_dtype=out_dtype, CP=CP, col_chunks=col_chunks)
         return pl.pallas_call(
             kernel,
             grid=(B, 1),
@@ -356,7 +431,7 @@ def conv3x3_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
         kernel = functools.partial(
             _conv3_flat_q8_kernel_pipe, B=B, C=C, O=O, TH=TH, W=W, H=H,
             act=act, s_in=float(s_in), out_scale=out_scale,
-            out_dtype=out_dtype, CP=CP)
+            out_dtype=out_dtype, CP=CP, col_chunks=col_chunks)
         return pl.pallas_call(
             kernel,
             grid=(B, n_tiles // 2, 2),
@@ -376,7 +451,8 @@ def conv3x3_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
         )(x, w_q, s_w, b2)
     kernel = functools.partial(
         _conv3_flat_q8_kernel, C=C, O=O, TH=TH, W=W, H=H, act=act,
-        s_in=float(s_in), out_scale=out_scale, out_dtype=out_dtype, CP=CP)
+        s_in=float(s_in), out_scale=out_scale, out_dtype=out_dtype, CP=CP,
+        col_chunks=col_chunks)
     return pl.pallas_call(
         kernel,
         grid=(B, n_tiles),
