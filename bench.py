@@ -159,13 +159,13 @@ def _inner() -> None:
     x_sharding = batch_sharding(mesh)
 
     def one(v, x):
-        # exact decode path: the topk serving decode (predict_topk)
-        # measured ~1 ms SLOWER at b32 on hardware (the NMS top_k over
-        # the full candidate set bounds both paths; the extra gather
-        # doesn't pay) — see BASELINE.md round-4
-        pred = deploy.predict(v, x)
-        det = non_max_suppression(pred.astype(jnp.float32), 0.25, 0.45,
-                                  max_nms=1024)
+        # serving decode: logit-level conf gate + top-k on raw objectness
+        # (exact for nc==1), decode only the selected rows, NMS skips its
+        # own full-set top_k (presorted contract). Measured b32 q8:
+        # +1.59 ms over the bare fwd vs +2.11 for the exact full decode
+        # (BASELINE.md round-4); identical detections.
+        pred = deploy.predict_topk(v, x, k=1024, conf_thres=0.25)
+        det = non_max_suppression(pred, 0.25, 0.45, presorted=True)
         return det
 
     n_chips = max(1, len(jax.devices()))

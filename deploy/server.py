@@ -49,6 +49,12 @@ def build_engine(cfg: str, ckpt: str | None, img_size: int, max_batch: int,
 
     @jax.jit
     def infer(v, x):
+        if model.cfg.nc == 1:
+            # serving fast path (exact for nc==1): logit-level conf gate
+            # + obj-ranked top-k decode, NMS takes the rows presorted
+            # (measured -0.5 ms/batch at b32 q8, BASELINE.md round-4)
+            pred = deploy.predict_topk(v, x, k=1024, conf_thres=conf)
+            return non_max_suppression(pred, conf, iou, presorted=True)
         pred = deploy.predict(v, x)
         return non_max_suppression(pred.astype(jnp.float32), conf, iou,
                                    max_nms=1024, nc=model.cfg.nc)

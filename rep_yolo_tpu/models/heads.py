@@ -35,6 +35,53 @@ def _head_conv(no_na: int, c1: int, name: str) -> nn.Conv:
                    name=name)
 
 
+# Serving-mode head-conv lane padding (set_head_pad): the 1x1 head convs
+# have O = na*no = 18 outputs; in the full deploy graph XLA assigns them
+# a batch-minor layout and the b128 trace bills them 5.5 + 2.7 + 2.5 ms
+# for ~6 GFLOP (~0.35 TF/s). Padding the (constant) kernel to a full
+# 128-lane tile and slicing the result is exact — but MEASURED A WASH
+# end-to-end at b128 (154.0 vs 154.0 ms predict+NMS, round 4): XLA's
+# algebraic simplifier or the surrounding relayouts absorb the change.
+# Kept off by default as an option for future layer-layout experiments.
+HEAD_PAD = False
+
+
+def set_head_pad(enabled: bool) -> None:
+    """Trace-time global (same contract as blocks.set_conv_precision:
+    set BEFORE the first trace; jit caches are not keyed on it)."""
+    global HEAD_PAD
+    HEAD_PAD = enabled
+
+
+class _PaddedHeadConv(nn.Module):
+    """Drop-in for _head_conv with the output-channel pad+slice. Declares
+    nn.Conv's exact param names/shapes ('kernel' (1,1,c1,no_na), 'bias'
+    (no_na,)) so checkpoints are interchangeable with the plain head."""
+
+    no_na: int
+    c1: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.param("kernel", conv_kernel_init,
+                       (1, 1, self.c1, self.no_na))
+        b = self.param("bias", conv_bias_init_for(self.c1), (self.no_na,))
+        P = -(-self.no_na // 128) * 128
+        dt = jnp.result_type(x, k)
+        kp = jnp.pad(k.astype(dt), ((0, 0),) * 3 + ((0, P - self.no_na),))
+        y = jax.lax.conv_general_dilated(
+            x, kp, (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=blocks.CONV_PRECISION)
+        return y[..., :self.no_na] + b.astype(dt)
+
+
+def _make_head_conv(no_na: int, c1: int, name: str):
+    if HEAD_PAD:
+        return _PaddedHeadConv(no_na, c1, name=name)
+    return _head_conv(no_na, c1, name)
+
+
 class Detect(nn.Module):
     """Plain YOLO detect head: per-level 1x1 conv (reference models/yolo.py:23-49)."""
 
@@ -58,7 +105,7 @@ class Detect(nn.Module):
     def __call__(self, xs: Sequence[jax.Array], train: bool = False):
         outs = []
         for i, x in enumerate(xs):
-            y = _head_conv(self.no * self.na, self.ch[i], f"m_{i}")(x)
+            y = _make_head_conv(self.no * self.na, self.ch[i], f"m_{i}")(x)
             b, h, w, _ = y.shape
             outs.append(y.reshape(b, h, w, self.na, self.no))
         return outs
@@ -95,7 +142,7 @@ class IDetect(nn.Module):
             if not self.deploy:
                 ia = self.param(f"ia_{i}", implicit_init(0.0), (1, 1, 1, self.ch[i]))
                 x = x + ia
-            y = _head_conv(self.no * self.na, self.ch[i], f"m_{i}")(x)
+            y = _make_head_conv(self.no * self.na, self.ch[i], f"m_{i}")(x)
             if not self.deploy:
                 im = self.param(f"im_{i}", implicit_init(1.0),
                                 (1, 1, 1, self.no * self.na))
@@ -138,7 +185,7 @@ class IAuxDetect(nn.Module):
             if not self.deploy:
                 ia = self.param(f"ia_{i}", implicit_init(0.0), (1, 1, 1, self.ch[i]))
                 x = x + ia
-            y = _head_conv(self.no * self.na, self.ch[i], f"m_{i}")(x)
+            y = _make_head_conv(self.no * self.na, self.ch[i], f"m_{i}")(x)
             if not self.deploy:
                 im = self.param(f"im_{i}", implicit_init(1.0),
                                 (1, 1, 1, self.no * self.na))
@@ -147,7 +194,7 @@ class IAuxDetect(nn.Module):
             lead.append(y.reshape(b, h, w, self.na, self.no))
         if not self.deploy:
             for i in range(nl):
-                y = _head_conv(self.no * self.na, self.ch[nl + i], f"m2_{i}")(xs[nl + i])
+                y = _make_head_conv(self.no * self.na, self.ch[nl + i], f"m2_{i}")(xs[nl + i])
                 b, h, w, _ = y.shape
                 aux.append(y.reshape(b, h, w, self.na, self.no))
         return lead + aux
@@ -190,7 +237,7 @@ class IBin(nn.Module):
             if not self.deploy:
                 ia = self.param(f"ia_{i}", implicit_init(0.0), (1, 1, 1, self.ch[i]))
                 x = x + ia
-            y = _head_conv(self.no * self.na, self.ch[i], f"m_{i}")(x)
+            y = _make_head_conv(self.no * self.na, self.ch[i], f"m_{i}")(x)
             if not self.deploy:
                 im = self.param(f"im_{i}", implicit_init(1.0),
                                 (1, 1, 1, self.no * self.na))
@@ -305,7 +352,9 @@ def decode_predictions(ps: Sequence[jax.Array], anchors_px: jax.Array,
 
 
 def decode_topk(ps: Sequence[jax.Array], anchors_px: jax.Array,
-                strides: Sequence[float], k: int = 1024) -> jax.Array:
+                strides: Sequence[float], k: int = 1024,
+                conf_thres: float | None = None,
+                approx: bool = False) -> jax.Array:
     """Serving-path decode: select the top-`k` candidates on the RAW
     objectness logits, then decode only those k rows in f32.
 
@@ -323,6 +372,19 @@ def decode_topk(ps: Sequence[jax.Array], anchors_px: jax.Array,
     step. Rows come out score-descending (not the reference's torch row
     order — NMS is order-insensitive past score sorting).
     Decode semantics match reference models/yolo.py:129-130.
+
+    conf_thres: apply the reference's objectness gate (utils/general.py:962)
+    at the LOGIT level before selection (sigmoid(t) > c <=> t > logit(c),
+    exact); gated rows decode with obj forced to a large negative logit so
+    downstream score masks reject them. With the gate applied here and
+    rows score-descending, `non_max_suppression(..., presorted=True)` can
+    skip its own full-set top_k.
+
+    approx=True ranks with jax.lax.approx_max_k (TPU PartialReduce,
+    recall_target 0.99 per bucket, then an exact sorted top-k over the
+    retained set) instead of the full-sort lax.top_k — a serving-only
+    trade: a tail candidate (beyond the top ~1% per bucket) can be
+    dropped before NMS. Eval paths keep the exact selection.
     """
     import numpy as np
 
@@ -344,9 +406,22 @@ def decode_topk(ps: Sequence[jax.Array], anchors_px: jax.Array,
     table = jnp.asarray(np.concatenate(tables, 0))       # (N, 5)
     k = min(k, raw.shape[1])
     obj = raw[..., 4].astype(jnp.float32)                # logits
-    _, idx = jax.lax.top_k(obj, k)                       # (B, k)
+    if conf_thres is not None:
+        import math
+
+        gate = math.log(conf_thres / (1.0 - conf_thres))
+        obj = jnp.where(obj > gate, obj, -1e4)
+    if approx:
+        _, idx = jax.lax.approx_max_k(obj, k, recall_target=0.99)
+    else:
+        _, idx = jax.lax.top_k(obj, k)                   # (B, k)
     sel = jnp.take_along_axis(raw, idx[..., None], axis=1).astype(
         jnp.float32)
+    if conf_thres is not None:
+        # re-apply the gate on the gathered rows so rejected slots decode
+        # to score 0 regardless of their original logit
+        g = jnp.take_along_axis(obj, idx, axis=1)
+        sel = sel.at[..., 4].set(jnp.where(g > -1e4, sel[..., 4], -1e4))
     t = table[idx]                                       # (B, k, 5)
     y = jax.nn.sigmoid(sel)
     xy = (y[..., 0:2] * 2.0 - 0.5 + t[..., 0:2]) * t[..., 4:5]

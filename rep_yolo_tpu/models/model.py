@@ -122,11 +122,15 @@ class RepYOLO:
         return heads_lib.decode_predictions(maps, anchors, self.strides)
 
     def predict_topk(self, variables: dict, x: jax.Array,
-                     k: int = 1024) -> jax.Array:
+                     k: int = 1024, conf_thres: float | None = None,
+                     approx: bool = False) -> jax.Array:
         """Serving-path inference: (B, k, no) f32 predictions holding the
         top-k candidates by objectness, decoded after selection (see
         heads.decode_topk — exact for nc==1, obj-prefiltered for nc>1).
-        Standard heads only (Detect/IDetect/IAuxDetect lead maps)."""
+        With conf_thres the objectness gate is applied at the logit level
+        and rows come out score-descending — feed straight into
+        non_max_suppression(presorted=True). Standard heads only
+        (Detect/IDetect/IAuxDetect lead maps)."""
         spec = self.head_spec
         if spec.name in ("IBin", "IKeypoint"):
             return self.predict(variables, x)   # exotic decode: full path
@@ -134,7 +138,8 @@ class RepYOLO:
         # anchors stay host-side numpy: decode_topk folds them into a
         # compile-time constant table (a traced array would break that)
         return heads_lib.decode_topk(maps, self.anchors_px, self.strides,
-                                     k=k)
+                                     k=k, conf_thres=conf_thres,
+                                     approx=approx)
 
     def predict_tta(self, variables: dict, x: jax.Array) -> jax.Array:
         """Test-time-augmented inference (reference models/yolo.py:569-585):

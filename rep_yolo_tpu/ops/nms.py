@@ -105,7 +105,7 @@ def _resolve_method(method: str, k: int) -> str:
 
 @partial(jax.jit, static_argnames=(
     "conf_thres", "iou_thres", "max_det", "max_nms", "multi_label",
-    "agnostic", "nc", "method", "merge"))
+    "agnostic", "nc", "method", "merge", "presorted"))
 def non_max_suppression(
     prediction: jax.Array,
     conf_thres: float = 0.25,
@@ -118,16 +118,26 @@ def non_max_suppression(
     nc: int | None = None,
     method: str = "auto",
     merge: bool = False,
+    presorted: bool = False,
 ) -> Detections:
     """prediction: (B, N, 5+nc) decoded [xc,yc,w,h,obj,cls...] in pixels.
 
     merge=True: merge-NMS — each kept box becomes the score-weighted mean
     of all candidates overlapping it above iou_thres (reference
-    utils/general.py:1032-1037)."""
+    utils/general.py:1032-1037).
+
+    presorted=True (serving fast path, nc==1 only): the caller guarantees
+    rows are already score-descending over the whole candidate set with
+    the conf gate applied upstream (models/heads.decode_topk with
+    conf_thres=). Candidate construction is then a column split — the
+    (B, N) masked full-set top_k (the costliest op of this function at
+    N=25200) is skipped."""
     B, N, no = prediction.shape
     nc = no - 5 if nc is None else nc
     multi_label = multi_label and nc > 1
-    k = min(max_nms, N * nc if multi_label else N)
+    if presorted and (nc != 1 or multi_label):
+        raise ValueError("presorted NMS requires nc == 1")
+    k = N if presorted else min(max_nms, N * nc if multi_label else N)
     method = _resolve_method(method, k)
     if merge and method == "greedy":
         method = "matrix"   # merge needs the candidate pool post-selection
@@ -161,7 +171,15 @@ def non_max_suppression(
         nms_boxes = sel_box + offset[:, None]
         return nms_boxes, sel_box, top_scores, sel_cls
 
-    nms_boxes, sel_box, top_scores, sel_cls = jax.vmap(candidates)(prediction)
+    if presorted:
+        sel_box = xywh2xyxy(prediction[..., :4])             # (B,N,4)
+        scores = prediction[..., 4]
+        top_scores = jnp.where(scores > conf_thres, scores, -jnp.inf)
+        sel_cls = jnp.zeros_like(scores)
+        nms_boxes = sel_box                                  # cls 0: no offset
+    else:
+        nms_boxes, sel_box, top_scores, sel_cls = jax.vmap(candidates)(
+            prediction)
     cand_valid = top_scores > -jnp.inf                       # (B,k)
 
     if method == "greedy":

@@ -61,3 +61,42 @@ def test_decode_topk_rows_match_exact_decode(tiny):
     for row in fast:
         d = np.abs(exact - row[None]).sum(1)
         assert d.min() < 1e-3, (row, exact[d.argmin()])
+
+
+def test_gated_presorted_nms_matches_exact(tiny):
+    """Serving fast path: decode_topk(conf_thres=) applies the objectness
+    gate at the logit level (sigmoid(t) > c <=> t > logit(c), exact) and
+    non_max_suppression(presorted=True) skips its own full-set top_k —
+    detections must match the exact path bit-for-bit up to tie order.
+    Reference semantics: utils/general.py:962 (conf gate), :994-996
+    (nc==1 score shortcut)."""
+    model, variables = tiny
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 3))
+
+    pred = model.predict(variables, x)
+    ref = non_max_suppression(pred.astype(jnp.float32), 0.003, 0.45,
+                              max_nms=256)
+    fast = model.predict_topk(variables, x, k=256, conf_thres=0.003)
+    out = non_max_suppression(fast, 0.003, 0.45, presorted=True)
+
+    assert int(out.count.sum()) > 0, "degenerate test: no detections"
+    np.testing.assert_array_equal(np.asarray(ref.count),
+                                  np.asarray(out.count))
+    for b in range(2):
+        n = int(ref.count[b])
+        rs = np.argsort(-np.asarray(ref.scores[b][:n]), kind="stable")
+        os_ = np.argsort(-np.asarray(out.scores[b][:n]), kind="stable")
+        np.testing.assert_allclose(np.asarray(ref.scores[b][:n])[rs],
+                                   np.asarray(out.scores[b][:n])[os_],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ref.boxes[b][:n])[rs],
+                                   np.asarray(out.boxes[b][:n])[os_],
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_presorted_requires_single_class():
+    import pytest as _pytest
+
+    pred = jnp.zeros((1, 8, 7))  # nc == 2
+    with _pytest.raises(ValueError):
+        non_max_suppression(pred, 0.25, 0.45, presorted=True)

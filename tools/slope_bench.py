@@ -98,9 +98,16 @@ def main():
     p.add_argument("--der-max-c1", type=int, default=128,
                    help="channel-width gate for the DER fast path "
                         "(c1 <= this); 512 = whole backbone channel-major")
+    p.add_argument("--head-pad", action="store_true",
+                   help="pad the 1x1 head convs to a full 128-lane tile "
+                        "(heads.set_head_pad; exact)")
     p.add_argument("--trace", default=None, metavar="DIR")
     opts = p.parse_args()
     batch = opts.batch
+    if opts.head_pad:
+        from rep_yolo_tpu.models import heads as heads_lib
+
+        heads_lib.set_head_pad(True)
     if opts.der_fast:
         # surface the q8 region planner's per-layer decisions (one INFO
         # line per traced forward, models/network.py LAST_REGION_PLAN)
@@ -144,9 +151,23 @@ def main():
         det = non_max_suppression(pred, 0.25, 0.45, max_nms=1024)
         return det.scores.sum()
 
+    def pred_nms_presorted(v, xc):
+        # serving fast path: logit-level conf gate + obj ranking upstream,
+        # NMS skips its own full-set top_k (presorted contract)
+        pred = deploy.predict_topk(v, xc, conf_thres=0.25)
+        det = non_max_suppression(pred, 0.25, 0.45, presorted=True)
+        return det.scores.sum()
+
+    def pred_nms_approx(v, xc):
+        pred = deploy.predict_topk(v, xc, conf_thres=0.25, approx=True)
+        det = non_max_suppression(pred, 0.25, 0.45, presorted=True)
+        return det.scores.sum()
+
     loop = slope(fwd, fused, x, "fwd raw maps", batch)
     slope(pred_nms, fused, x, "predict + NMS", batch)
     slope(pred_nms_topk, fused, x, "predict(topk) + NMS", batch)
+    slope(pred_nms_presorted, fused, x, "predict(topk,gate) + presorted NMS", batch)
+    slope(pred_nms_approx, fused, x, "predict(approx,gate) + presorted NMS", batch)
 
     if opts.trace:
         with jax.profiler.trace(opts.trace):
