@@ -1,6 +1,7 @@
 """Loss parity vs the reference's ComputeLoss / ComputeLossOTA on canned
 raw maps + targets (fixtures from tools/gen_goldens.py gen_losses)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -82,3 +83,21 @@ def test_loss_no_targets(golden_dir):
     loss, comps = compute_loss(preds, labels, mask0, anchors, cfg)
     assert np.isfinite(float(loss))
     np.testing.assert_allclose(float(comps["box"]), 0.0, atol=1e-6)
+
+
+def test_topk_iter_matches_lax_top_k():
+    """_topk_iter is a drop-in for lax.top_k (same values, same indices,
+    same lowest-index tie-break) — the simOTA selection depends on exact
+    rank semantics (reference utils/loss.py:749-751)."""
+    import numpy as np
+
+    from rep_yolo_tpu.train.loss import _topk_iter
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(3, 7, 111)).astype(np.float32)
+    x[..., :5] = 0.25          # ties
+    x[0, 0, :] = 0.0           # constant row
+    v1, i1 = jax.lax.top_k(jnp.asarray(x), 10)
+    v2, i2 = _topk_iter(jnp.asarray(x), 10)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
