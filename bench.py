@@ -193,7 +193,13 @@ def _inner() -> None:
                 xc, acc = carry
                 det = one(v, xc)
                 s = det.scores.sum() + acc
-                xc = xc + (s * 1e-24).astype(xc.dtype)  # ~0, real dep
+                # single-element perturbation: keeps the iteration-to-
+                # iteration data dependency (no memoization, no loop-
+                # invariant hoisting) without a full-tensor add — the
+                # old `xc + s*1e-24` broadcast-add cost 1.26 ms/iter at
+                # b32 / ~5 ms at b128 (round-4 trace) and was billed to
+                # the model in every number this harness ever reported
+                xc = xc.at[0, 0, 0, 0].add((s * 1e-24).astype(xc.dtype))
                 return (xc, s)
 
             _, acc = jax.lax.fori_loop(0, n_iters, body,

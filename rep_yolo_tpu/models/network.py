@@ -255,12 +255,13 @@ class DetectionNet(nn.Module):
         cm: dict[int, tuple[float, int, int, int]] = {}
         nhwc_cache: dict[int, jax.Array] = {}
         plan: dict[int, str] = {}
+        pooled: set[int] = set()   # DERs whose cv1 fused the trailing MP
         if q8_region:
             cons: dict[int, list] = {}
             for sp in self.cfg.layers:
                 for j in sp.f:
-                    if j >= 0:
-                        cons.setdefault(j, []).append(sp.i)
+                    jj = sp.i - 1 if j == -1 else j
+                    cons.setdefault(jj, []).append(sp.i)
 
             def st1_scale(i: int):
                 suffix = f"l{i}/stage1/reparam_conv"
@@ -287,19 +288,19 @@ class DetectionNet(nn.Module):
                 return True
 
             def cm_out_scale(i: int, h: int, w: int):
-                """(scale, target layer) to emit layer i's int8 output
-                at: the st1 scale of a cm-capable DER successor (directly
-                or through one MP), else None (exit the region in NHWC
-                bf16)."""
+                """(scale, target layer, mp index | None) to emit layer
+                i's int8 output at: the st1 scale of a cm-capable DER
+                successor (directly, mp=None, or through one MP, mp=its
+                layer index), else None (exit the region in NHWC bf16)."""
                 for k in cons.get(i, []):
                     sp = self.cfg.layers[k]
                     if sp.name == "MP":
                         for k2 in cons.get(k, []):
                             sp2 = self.cfg.layers[k2]
                             if der_cm_ok(sp2, h // 2, w // 2):
-                                return st1_scale(sp2.i), sp2.i
+                                return st1_scale(sp2.i), sp2.i, k
                     elif der_cm_ok(sp, h, w):
-                        return st1_scale(sp.i), sp.i
+                        return st1_scale(sp.i), sp.i, None
                 return None
 
         def to_nhwc(j: int, t: jax.Array) -> jax.Array:
@@ -348,7 +349,13 @@ class DetectionNet(nn.Module):
                 y = B.ReOrg()(inp)
             elif n == "MP":
                 j = spec.i - 1 if spec.f[0] == -1 else spec.f[0]
-                if q8_region and j in cm:
+                if q8_region and j in pooled:
+                    # the producing DER's cv1 already emitted the pooled
+                    # map (cm_pool fusion) — this MP is an identity
+                    y = inp
+                    cm[spec.i] = cm[j]
+                    plan[spec.i] = "MP fused into producer cv1 epilogue"
+                elif q8_region and j in cm:
                     # pool the flat int8 in channel-major (max commutes
                     # with the positive dequant scale); stays in-region
                     from rep_yolo_tpu.ops.pallas.conv_flat import \
@@ -421,22 +428,37 @@ class DetectionNet(nn.Module):
                     inp = to_nhwc(j, inp)
                 out = cm_out_scale(spec.i, h, w) if ok else None
                 out_s = out[0] if out is not None else None
+                # fold a sole-consumer trailing MP into cv1's epilogue
+                # (bit-exact; kills the pool kernel's HBM round-trip and
+                # 3/4 of cv1's output write)
+                from rep_yolo_tpu.ops.pallas.conv_flat import pool_fusible
+                fuse_pool = (B.CMAJOR_POOL_FUSE
+                             and out is not None and out[2] is not None
+                             and set(cons.get(spec.i, ())) == {out[2]}
+                             and pool_fusible(h, w))
                 c2 = spec.args[0]
                 nbs = spec.args[1] if len(spec.args) > 1 else 2
                 ncb = spec.args[2] if len(spec.args) > 2 else 1
                 mod = B.DERBlock(spec.c1, c2, nbs, ncb, deploy=True,
                                  cm_in=use_cm, cm_hw=(h, w),
-                                 cm_out_scale=out_s, name=f"l{spec.i}")
+                                 cm_out_scale=out_s, cm_pool=fuse_pool,
+                                 name=f"l{spec.i}")
                 y = mod(inp, train)
                 # register only if the fast path actually emitted int8
                 # (it declines when any of the block's 13 conv scales is
                 # missing and falls back to the NHWC stage path)
                 if out_s is not None and y.dtype == jnp.int8:
-                    cm[spec.i] = (out_s, h, w, out[1])
+                    if fuse_pool:
+                        cm[spec.i] = (out_s, h // 2, w // 2, out[1])
+                        pooled.add(spec.i)
+                    else:
+                        cm[spec.i] = (out_s, h, w, out[1])
                     plan[spec.i] = (
                         f"in-region DER (c1={spec.c1} @{h}x{w}, "
                         f"{'int8 in' if use_cm else 'NHWC in'}) -> "
-                        f"int8 @ st1(l{out[1]})")
+                        f"int8 @ st1(l{out[1]})"
+                        + (f" (MP l{out[2]} fused into cv1)"
+                           if fuse_pool else ""))
                 else:
                     if ok and out_s is not None:
                         # gate+successor said int8 but _fast_deploy

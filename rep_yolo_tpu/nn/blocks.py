@@ -199,6 +199,18 @@ def set_cmajor_deploy(mode: str | None, scales: dict[str, float] | None = None,
 
 _CMAJOR_SELECT = lambda c1, h, w: c1 <= 128
 
+# Trace-time flag: fold a sole-consumer trailing MP into the DER cv1
+# kernel's epilogue inside the q8 region (conv_flat.conv1x1_flat_q8
+# pool_hw — bit-exact; the standalone pool kernel and 3/4 of cv1's
+# output write disappear). Set before the first trace, like the other
+# cmajor flags (jit caches are not keyed on it).
+CMAJOR_POOL_FUSE = True
+
+
+def set_cmajor_pool_fuse(enable: bool) -> None:
+    global CMAJOR_POOL_FUSE
+    CMAJOR_POOL_FUSE = bool(enable)
+
 # Trace-time flag: route 3x3/s1 convs through the Pallas wgrad kernel
 # in the backward (ops/pallas/wgrad_kernel.py — XLA runs thin-conv
 # weight gradients at ~4 TF/s, see BASELINE.md training table). Same
@@ -634,6 +646,11 @@ class DERBlock(nn.Module):
     cm_in: bool = False
     cm_hw: tuple | None = None
     cm_out_scale: float | None = None
+    # With cm_pool (planner-set, requires cm_out_scale), the trailing
+    # reference MP (2x2/s2 max pool) is fused into cv1's epilogue: the
+    # block returns (B, c2, (H//2)*(W//2)) int8 and the standalone pool
+    # kernel never runs (conv_flat.conv1x1_flat_q8 pool_hw).
+    cm_pool: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -790,10 +807,14 @@ class DERBlock(nn.Module):
 
             x1, x4_1, x4_3 = run_chain(xf, conv)
             if self.cm_out_scale is not None:
-                # stay in the region: flat int8 at the successor's scale
+                # stay in the region: flat int8 at the successor's scale;
+                # with cm_pool the trailing MP is fused into this kernel
+                # (output already pooled to (H//2, W//2))
                 return conv1x1_flat_q8([x1, x4_1, x4_3], k_cv1, b_cv1,
                                        1.0, act="silu",
-                                       out_scale=float(self.cm_out_scale))
+                                       out_scale=float(self.cm_out_scale),
+                                       pool_hw=((hh, ww) if self.cm_pool
+                                                else None))
             y = conv1x1_flat_q8([x1, x4_1, x4_3], k_cv1, b_cv1, 1.0,
                                 act="silu")
             y = jnp.transpose(y.reshape(bn, self.c2, hh, ww), (0, 2, 3, 1))

@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rep_yolo_tpu.ops.pallas.conv_kernel import (
-    _q8_epilogue, _round_up, pick_row_tile, quantize_weights)
+    _epilogue, _q8_epilogue, _round_up, pick_row_tile, quantize_weights)
 
 # left guard so tap offset -1 at the first data lane stays in bounds;
 # the garbage it reads is killed by the v=0 tap mask
@@ -486,12 +486,67 @@ def _conv1_flat_q8_kernel(*refs, n_in, act, s_in, out_scale, out_dtype):
                                   out_scale, out_dtype)
 
 
+def _requant(y_f32, out_scale, out_dtype):
+    if out_scale is not None:
+        return jnp.clip(jnp.round(y_f32 * (1.0 / out_scale)),
+                        -127, 127).astype(jnp.int8)
+    return y_f32.astype(out_dtype)
+
+
+def _conv1_pool_flat_q8_kernel(*refs, n_in, act, s_in, out_scale,
+                               out_dtype, TR, W):
+    """1x1 concat-conv over 2*TR rows with a fused 2x2/s2 max pool: the
+    epilogue runs in f32 on the full-resolution tile, row pairs reduce
+    by lane slices, lane pairs by the 0/1 selection-matrix MXU dots
+    (pool_flat.py's decimation idiom), and requant happens LAST —
+    bit-identical to unfused conv -> max_pool2_flat because round/clip/
+    bf16-cast are monotone non-decreasing, so they commute with max."""
+    x_refs = refs[:n_in]
+    w_refs = refs[n_in:2 * n_in]
+    sw_ref, b_ref, se_ref, so_ref, y_ref = refs[2 * n_in:2 * n_in + 5]
+    acc = None
+    for x_ref, w_ref in zip(x_refs, w_refs):
+        if x_ref.dtype == jnp.int8:
+            xq = x_ref[0]
+        else:
+            xq = jnp.clip(jnp.round(x_ref[0].astype(jnp.float32)
+                                    * (1.0 / s_in)), -127, 127
+                          ).astype(jnp.int8)
+        d = jnp.dot(w_ref[:, :], xq, preferred_element_type=jnp.int32)
+        acc = d if acc is None else acc + d
+    y = acc.astype(jnp.float32) * (sw_ref[:, :] * s_in) + b_ref[:, :]
+    y = _epilogue(y, jnp.float32(0.0), act)          # (O, 2*TR*W) f32
+    W2 = W // 2
+    for k in range(TR):
+        r0 = y[:, (2 * k) * W:(2 * k + 1) * W]
+        r1 = y[:, (2 * k + 1) * W:(2 * k + 2) * W]
+        m = jnp.maximum(r0, r1)
+        a = jnp.dot(m, se_ref[:, :], preferred_element_type=jnp.float32)
+        b = jnp.dot(m, so_ref[:, :], preferred_element_type=jnp.float32)
+        y_ref[0, :, pl.ds(k * W2, W2)] = _requant(jnp.maximum(a, b),
+                                                  out_scale, out_dtype)
+
+
+def pool_fusible(H: int, W: int) -> bool:
+    """True when conv1x1_flat_q8 can fuse a trailing 2x2/s2 max pool for
+    this image size: a 128-aligned output-row tile exists, or the map is
+    small enough (<= 4096 lanes) to process whole-image per program (the
+    f32 epilogue intermediate is (O, H*W) there, so the cap bounds
+    VMEM)."""
+    from rep_yolo_tpu.ops.pallas import pool_flat
+
+    if H % 2 or W % 2:
+        return False
+    return pool_flat._pick_tr(H, W) is not None or H * W <= 4096
+
+
 @functools.partial(jax.jit, static_argnames=("s_in", "act", "out_scale",
-                                             "row_tile"))
+                                             "row_tile", "pool_hw"))
 def conv1x1_flat_q8(x, w: jax.Array, bias: jax.Array, s_in: float,
                     act: str | None = "silu",
                     out_scale: float | None = None,
-                    row_tile: int | None = None) -> jax.Array:
+                    row_tile: int | None = None,
+                    pool_hw: tuple[int, int] | None = None) -> jax.Array:
     """Fused int8 1x1 conv on flat (B, C, H*W) activation(s).
 
     `x` may be a single array or a LIST of arrays (B, Ci, H*W): the list
@@ -501,6 +556,13 @@ def conv1x1_flat_q8(x, w: jax.Array, bias: jax.Array, s_in: float,
     input scale treatment: either pre-quantized int8 (scale folded into
     `w` per-section by the caller) or floats quantized at `s_in`.
     w: (1, 1, sum(Ci), O) HWIO float; bias: (O,).
+
+    `pool_hw=(H, W)` fuses the reference MP (2x2/s2 max pool,
+    models/common.py:32) that follows the DER cv1 into this kernel's
+    epilogue: the output is (B, O, (H//2)*(W//2)) and the pool kernel's
+    HBM round-trip plus 3/4 of cv1's output write disappear. Bit-exact
+    vs unfused conv -> max_pool2_flat (requant is monotone, so it
+    commutes with max). Requires pool_fusible(H, W).
     """
     xs = list(x) if isinstance(x, (list, tuple)) else [x]
     B, _, HW = xs[0].shape
@@ -518,6 +580,47 @@ def conv1x1_flat_q8(x, w: jax.Array, bias: jax.Array, s_in: float,
     b2 = bias.reshape(O, 1).astype(jnp.float32)
 
     out_dtype = jnp.int8 if out_scale is not None else jnp.bfloat16
+    interpret = jax.default_backend() != "tpu"
+    const_specs = [pl.BlockSpec(ws.shape, lambda b, i: (0, 0),
+                                memory_space=pltpu.VMEM) for ws in splits]
+    const_specs += [pl.BlockSpec((O, 1), lambda b, i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((O, 1), lambda b, i: (0, 0),
+                                 memory_space=pltpu.VMEM)]
+
+    if pool_hw is not None:
+        from rep_yolo_tpu.ops.pallas import pool_flat
+
+        H, W = pool_hw
+        assert HW == H * W and pool_fusible(H, W), (x if not xs else
+                                                    xs[0].shape, pool_hw)
+        W2, H2 = W // 2, H // 2
+        # output rows per program: a 128-aligned row tile, else the
+        # whole image (block dim == array dim is always legal)
+        TR = pool_flat._pick_tr(H, W) or H2
+        se, so = (m.astype(jnp.float32) for m in pool_flat._sel_matrices(W))
+        kernel = functools.partial(
+            _conv1_pool_flat_q8_kernel, n_in=len(xs), act=act,
+            s_in=float(s_in), out_scale=out_scale, out_dtype=out_dtype,
+            TR=TR, W=W)
+        in_specs = [pl.BlockSpec((1, xi.shape[1], 2 * TR * W),
+                                 lambda b, i: (b, 0, i),
+                                 memory_space=pltpu.VMEM) for xi in xs]
+        in_specs += const_specs
+        in_specs += [pl.BlockSpec((W, W2), lambda b, i: (0, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((W, W2), lambda b, i: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+        return pl.pallas_call(
+            kernel,
+            grid=(B, H2 // TR),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, O, TR * W2), lambda b, i: (b, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, O, H2 * W2), out_dtype),
+            interpret=interpret,
+        )(*xs, *splits, s_w, b2, se, so)
+
     # VMEM bytes per output lane: int8 input sections + the output block
     bpl = sum(xi.shape[1] * xi.dtype.itemsize for xi in xs)
     bpl += O * (1 if out_dtype == jnp.int8 else 2)
@@ -527,12 +630,7 @@ def conv1x1_flat_q8(x, w: jax.Array, bias: jax.Array, s_in: float,
         out_scale=out_scale, out_dtype=out_dtype)
     in_specs = [pl.BlockSpec((1, xi.shape[1], TH), lambda b, i: (b, 0, i),
                              memory_space=pltpu.VMEM) for xi in xs]
-    in_specs += [pl.BlockSpec(ws.shape, lambda b, i: (0, 0),
-                              memory_space=pltpu.VMEM) for ws in splits]
-    in_specs += [pl.BlockSpec((O, 1), lambda b, i: (0, 0),
-                              memory_space=pltpu.VMEM),
-                 pl.BlockSpec((O, 1), lambda b, i: (0, 0),
-                              memory_space=pltpu.VMEM)]
+    in_specs += const_specs
     return pl.pallas_call(
         kernel,
         grid=(B, HW // TH),

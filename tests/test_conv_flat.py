@@ -154,3 +154,78 @@ def test_max_pool2_flat_supports_gate():
     assert supports(192, 80, 80)
     assert supports(256, 80, 80) and supports(512, 40, 40)
     assert not supports(48, 321, 320)  # odd H
+
+
+@pytest.mark.parametrize("H,W,out_s", [
+    (16, 64, 0.013),      # aligned rows, int8 out
+    (16, 64, None),       # bf16 out
+    (8, 320, 0.013),      # l1-like W (TR alignment via W2*TR%128)
+])
+def test_conv1x1_pool_fused_bitexact(H, W, out_s):
+    """conv1x1_flat_q8(pool_hw=...) must be BIT-identical to the unfused
+    conv -> max_pool2_flat chain: requant (round/clip/bf16-cast) is
+    monotone non-decreasing, so it commutes with max."""
+    from rep_yolo_tpu.ops.pallas.conv_flat import pool_fusible
+    from rep_yolo_tpu.ops.pallas.pool_flat import max_pool2_flat
+
+    assert pool_fusible(H, W)
+    B, C, O = 2, 16, 24
+    xs = [(jax.random.uniform(ks, (B, C, H * W)) * 254 - 127).astype(jnp.int8)
+          for ks in jax.random.split(jax.random.PRNGKey(3), 3)]
+    wc = jax.random.uniform(jax.random.PRNGKey(4), (1, 1, 3 * C, O)) - 0.5
+    bias = jax.random.uniform(jax.random.PRNGKey(5), (O,)) - 0.5
+    ref = conv1x1_flat_q8(xs, wc, bias, 1.0, out_scale=out_s)
+    ref = max_pool2_flat(ref, H, W)
+    y = conv1x1_flat_q8(xs, wc, bias, 1.0, out_scale=out_s, pool_hw=(H, W))
+    assert y.shape == (B, O, (H // 2) * (W // 2))
+    np.testing.assert_array_equal(np.asarray(y, np.float32),
+                                  np.asarray(ref, np.float32))
+
+
+@pytest.mark.slow
+def test_cm_pool_fuse_network_bitexact():
+    """q8 region with the MP-into-cv1 fusion ON vs OFF on a tiny graph
+    holding the flagship's DER->MP->DER backbone pattern: identical
+    outputs, and the plan must actually show a fused MP (engagement
+    guard — a silent fall-through would pass vacuously)."""
+    import rep_yolo_tpu.nn.blocks as B
+    from rep_yolo_tpu.models import network as net_lib
+    from rep_yolo_tpu.models.model import RepYOLO
+    from rep_yolo_tpu.ops import quant
+
+    cfg = {
+        "nc": 1, "depth_multiple": 1.0, "width_multiple": 1.0,
+        "anchors": [[10, 13, 16, 30, 33, 23]],
+        "backbone": [
+            [-1, 1, "RepS_Block", [8, 3, 2, 1]],   # 0 /2
+            [-1, 1, "MP", []],                     # 1 /4
+            [-1, 1, "DER_Block", [16, 1, 1]],      # 2
+            [-1, 1, "MP", []],                     # 3 /8  <- fusable
+            [-1, 1, "DER_Block", [16, 1, 1]],      # 4
+        ],
+        "head": [
+            [-1, 1, "Conv", [16, 1, 1]],           # 5
+            [[-1], 1, "IDetect", ["nc", "anchors"]],  # 6
+        ],
+    }
+    model = RepYOLO.from_config(cfg)
+    variables = model.init(jax.random.PRNGKey(0), img_size=64)
+    deploy, fused = model.fuse(variables)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    scales = quant.calibrate(deploy, fused, [x])
+    try:
+        B.set_cmajor_deploy("q8", scales, select=lambda c, h, w: True)
+        B.set_cmajor_pool_fuse(False)
+        ref = deploy.predict(fused, x)
+        assert not any("fused into" in d
+                       for d in net_lib.LAST_REGION_PLAN.values())
+        B.set_cmajor_pool_fuse(True)
+        out = deploy.predict(fused, x)
+        assert any("fused into" in d
+                   for d in net_lib.LAST_REGION_PLAN.values()), \
+            net_lib.LAST_REGION_PLAN
+    finally:
+        B.set_cmajor_deploy(None)
+        B.set_cmajor_pool_fuse(True)
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(ref, np.float32))

@@ -36,7 +36,8 @@ def slope(step_fn, x, label: str):
         def body(_, carry):
             xc, acc = carry
             s = step_fn(xc) + acc
-            xc = xc + (s * 1e-24).astype(xc.dtype)
+            # single-element data dependency (see bench.py)
+            xc = xc.at[(0,) * xc.ndim].add((s * 1e-24).astype(xc.dtype))
             return (xc, s)
         _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0.0)))
         return acc

@@ -66,7 +66,12 @@ def slope(step_fn, fused, x, label: str, batch: int):
         def body(_, carry):
             xc, acc = carry
             s = step_fn(v, xc) + acc
-            xc = xc + (s * 1e-24).astype(xc.dtype)
+            # data dependency that defeats both dispatch memoization and
+            # loop-invariant hoisting WITHOUT touching the whole input:
+            # a full-tensor `xc + s*1e-24` costs 1.26 ms/iter at b32
+            # (78 MB bf16 broadcast-add, round-4 trace) and was billed
+            # to every fwd number this tool ever printed
+            xc = xc.at[0, 0, 0, 0].add((s * 1e-24).astype(xc.dtype))
             return (xc, s)
         _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0.0)))
         return acc

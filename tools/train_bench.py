@@ -132,7 +132,9 @@ def main():
             else:
                 st, comps = step(st, im, hw, labels, mask)
             t = comps["total"]
-            im = im + (t * 1e-24).astype(im.dtype)  # data dependency
+            # single-element data dependency (see bench.py: the full-
+            # tensor add billed ~0.3 ms/step at b8 to the harness)
+            im = im.at[0, 0, 0, 0].add((t * 1e-24).astype(im.dtype))
             return (st, im, acc + t)
 
         st, _, acc = jax.lax.fori_loop(0, n, body,
