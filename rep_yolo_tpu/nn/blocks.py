@@ -244,6 +244,39 @@ def set_pallas_wgrad(enable: bool, select=None) -> None:
     _WGRAD_SELECT = select or _wgrad_default_select
 
 
+# Grouped/depthwise convs don't map onto the MXU: XLA lowers them to a
+# VPU sliding window, and the round-4 b32 trace shows the GSConv 5x5
+# depthwise convs (reference models/common.py GSConv, g == c2) running
+# ~20x off the bandwidth roofline (0.35 ms each at 32ch@80x80). Below
+# this channel width it is cheaper to EMBED the grouped kernel into a
+# block-diagonal dense kernel and run one MXU conv — the extra
+# multiply-by-zero MACs are free next to the VPU path (g x more MACs,
+# but the MXU has >100x the grouped path's measured throughput). Exact:
+# the off-diagonal taps contribute 0.0 to the accumulator.
+DENSE_GROUPED_MAX_C1 = 64
+
+
+def set_dense_grouped(max_c1: int) -> None:
+    """Channel-width gate for the block-diagonal dense rewrite of grouped
+    convs (0 disables; default 64 — above that the g-fold MAC overhead
+    starts to rival the VPU path it replaces)."""
+    global DENSE_GROUPED_MAX_C1
+    DENSE_GROUPED_MAX_C1 = int(max_c1)
+
+
+def _dense_grouped_weights(kern: jax.Array, c1: int, c2: int,
+                           g: int) -> jax.Array:
+    """(k, k, c1/g, c2) grouped kernel -> (k, k, c1, c2) block-diagonal
+    dense kernel computing the identical conv with g == 1."""
+    cg_in = c1 // g
+    cg_out = c2 // g
+    i = jnp.arange(c1)
+    o = jnp.arange(c2)
+    dense = jnp.take(kern, i % cg_in, axis=2)            # (k, k, c1, c2)
+    mask = (i[:, None] // cg_in) == (o[None, :] // cg_out)
+    return dense * mask.astype(kern.dtype)
+
+
 class _NestedConvParams(nn.Module):
     """Declares a deploy conv's {kernel, bias} under a nested module-name
     chain, producing the SAME param paths as the regular module tree
@@ -371,6 +404,17 @@ class ConvUnit(nn.Module):
             dt = jnp.result_type(x, kern)
             y = conv3x3_pallas_wgrad(x.astype(dt), kern.astype(dt),
                                      precision=CONV_PRECISION)
+        elif (self.g > 1 and c1 <= DENSE_GROUPED_MAX_C1
+                and c1 % self.g == 0 and self.c2 % self.g == 0):
+            # grouped/depthwise -> block-diagonal dense MXU conv (see
+            # DENSE_GROUPED_MAX_C1 above); bit-identical output
+            dt = jnp.result_type(x, kern)
+            dense = _dense_grouped_weights(kern, c1, self.c2, self.g)
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt), dense.astype(dt), (self.s, self.s),
+                ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=CONV_PRECISION)
         else:
             # same dtype promotion as nn.Conv (dtype=None): inputs and
             # params are promoted to a common dtype before the conv

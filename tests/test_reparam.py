@@ -66,3 +66,28 @@ def test_s2d_stride2_conv_exact():
         y = _s2d_stride2_conv(x, w, jax.lax.Precision.HIGHEST)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_dense_grouped_conv_exact():
+    """The block-diagonal dense rewrite of grouped/depthwise convs
+    (nn/blocks._dense_grouped_weights, DENSE_GROUPED_MAX_C1 gate) is
+    exact vs feature_group_count for depthwise (g == c1 == c2, the
+    reference's GSConv 5x5, models/common.py) and general grouped
+    shapes."""
+    import rep_yolo_tpu.nn.blocks as blocks_lib
+    from rep_yolo_tpu.nn.blocks import ConvUnit
+
+    for c1, c2, g, k, s in [(32, 32, 32, 5, 1), (64, 64, 64, 5, 1),
+                            (32, 64, 4, 3, 2), (24, 24, 24, 3, 1)]:
+        x = jax.random.uniform(jax.random.PRNGKey(g), (2, 16, 16, c1)) - 0.5
+        m = ConvUnit(c2, k=k, s=s, g=g)
+        v = m.init(jax.random.PRNGKey(c2), x)
+        assert c1 <= blocks_lib.DENSE_GROUPED_MAX_C1  # routes to dense
+        y_dense = m.apply(v, x)
+        blocks_lib.set_dense_grouped(0)
+        try:
+            y_group = m.apply(v, x)
+        finally:
+            blocks_lib.set_dense_grouped(64)
+        np.testing.assert_allclose(np.asarray(y_dense), np.asarray(y_group),
+                                   rtol=1e-6, atol=1e-6)
