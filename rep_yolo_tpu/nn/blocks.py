@@ -259,7 +259,9 @@ DENSE_GROUPED_MAX_C1 = 64
 def set_dense_grouped(max_c1: int) -> None:
     """Channel-width gate for the block-diagonal dense rewrite of grouped
     convs (0 disables; default 64 — above that the g-fold MAC overhead
-    starts to rival the VPU path it replaces)."""
+    starts to rival the VPU path it replaces). Read at trace time (same
+    contract as set_conv_precision): set BEFORE the first traced forward;
+    already-jitted functions keep their cached computation."""
     global DENSE_GROUPED_MAX_C1
     DENSE_GROUPED_MAX_C1 = int(max_c1)
 
@@ -407,7 +409,8 @@ class ConvUnit(nn.Module):
         elif (self.g > 1 and c1 <= DENSE_GROUPED_MAX_C1
                 and c1 % self.g == 0 and self.c2 % self.g == 0):
             # grouped/depthwise -> block-diagonal dense MXU conv (see
-            # DENSE_GROUPED_MAX_C1 above); bit-identical output
+            # DENSE_GROUPED_MAX_C1 above); numerically exact (the zero
+            # taps contribute 0.0 — summation order may differ)
             dt = jnp.result_type(x, kern)
             dense = _dense_grouped_weights(kern, c1, self.c2, self.g)
             y = jax.lax.conv_general_dilated(

@@ -84,10 +84,11 @@ def test_dense_grouped_conv_exact():
         v = m.init(jax.random.PRNGKey(c2), x)
         assert c1 <= blocks_lib.DENSE_GROUPED_MAX_C1  # routes to dense
         y_dense = m.apply(v, x)
+        orig = blocks_lib.DENSE_GROUPED_MAX_C1
         blocks_lib.set_dense_grouped(0)
         try:
             y_group = m.apply(v, x)
         finally:
-            blocks_lib.set_dense_grouped(64)
+            blocks_lib.set_dense_grouped(orig)
         np.testing.assert_allclose(np.asarray(y_dense), np.asarray(y_group),
                                    rtol=1e-6, atol=1e-6)
