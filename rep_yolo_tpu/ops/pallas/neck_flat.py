@@ -1,0 +1,263 @@
+"""Pallas TPU kernels for the flat int8 NECK region (round 5).
+
+The round-3/4 channel-major q8 region stopped at the backbone: every
+neck op (SPPCSPC, GSConv's 5x5 depthwise, the channel shuffle, the FPN
+up/downsample glue) ran NHWC bf16, and the b32 trace bills the neck
+~13 ms against a ~2.5 ms conv roofline — densified depthwise convs
+(64x the real MACs on the MXU), strided-slice channel shuffles lowered
+to gathers, and a layout flip on every block edge (BASELINE.md round-5
+trace rollup).
+
+These kernels keep the neck on the same flat (B, C, H*W) row-major int8
+activations as the backbone region (ops/pallas/conv_flat.py):
+
+- ``dwconv5x5_flat_q8`` — depthwise 5x5 (GSConv cv2, reference
+  models/common.py:3807-3818) as 25 lane-shifted VPU FMAs on the flat
+  slab: the MXU never sees the g-fold densified matrix, and the
+  activation never leaves the region layout.
+- ``spp_pools_flat`` — the SPPCSPC k=(5,9,13) stride-1 max pyramid
+  (reference models/common.py:270-290) as three chained separable
+  5-window max passes (5∘5=9, 9∘5=13 for max composition) in one
+  kernel, emitting the 4-section concat [x, p5, p9, p13] directly.
+  max commutes with the positive dequant scale, so the pyramid is pure
+  int8 in/out at the producer's scale.
+- ``conv3x3s2_flat_q8`` — stride-2 3x3 (GSConv downsample rows of the
+  PAN, cfg l33/l49) via the stem's exact space-to-depth embedding:
+  s2d to 4C channels, then the stride-1 flat kernel with the 3x3
+  taps relaid on the {-1, 0} offset lattice (nn/blocks.py
+  RepSBlock._stem_fast_q8 generalized to any C).
+- ``upsample2x_flat`` / ``gs_shuffle_flat`` — nearest-2x and the GSConv
+  even/odd channel shuffle as pure XLA data movement on int8 (the
+  shuffle is a sublane-dim permutation here, not the minor-dim gather
+  the NHWC graph paid 0.26 ms/layer for).
+
+Layout/scale contract matches conv_flat.py: activations (B, C, H*W)
+row-major int8 quantized at the consumer's calibrated input scale;
+weights HWIO floats, packed at trace time.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rep_yolo_tpu.ops.pallas.conv_flat import conv3x3_flat_q8
+
+_NEG = -1e9  # max-identity for f32 compute over int8 values
+
+
+def _pick_tc(C: int, slab_lanes: int, bytes_per_lane: int = 8,
+             budget: int = 3 << 20) -> int:
+    """Channel tile: largest divisor of C (32-multiple, or C itself)
+    whose f32 slab + int8 blocks fit the VMEM budget."""
+    for tc in sorted((d for d in range(1, C + 1) if C % d == 0
+                      and (d % 32 == 0 or d == C)), reverse=True):
+        if tc * slab_lanes * bytes_per_lane <= budget:
+            return tc
+    return 1
+
+
+def _dw5_kernel(x_ref, w_ref, b_ref, y_ref, slab, *, TC, H, W, act,
+                s_in, out_scale, out_dtype):
+    """Whole-image depthwise 5x5 program for one (batch, channel-tile).
+
+    slab: (TC, 2W + H*W + 2W + pad) f32 — the dequantized (integer-
+    valued) image with 2 zero halo rows on each side; taps are plain
+    lane-shifted slices with an iota mask killing the columns that wrap
+    across row seams in the flat layout (same idiom as conv_flat's
+    im2col)."""
+    HW = H * W
+    db = 2 * W + 2
+    if x_ref.dtype == jnp.int8:
+        vals = x_ref[0].astype(jnp.float32)
+    else:
+        vals = jnp.clip(jnp.round(x_ref[0].astype(jnp.float32)
+                                  * (1.0 / s_in)), -127, 127)
+    slab[:, :] = jnp.zeros(slab.shape, jnp.float32)
+    slab[:, pl.ds(db, HW)] = vals
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, HW), 1) % W
+    acc = jnp.zeros((TC, HW), jnp.float32)
+    for u in range(5):
+        for v in range(5):
+            dv = v - 2
+            val = slab[:, pl.ds(db + (u - 2) * W + dv, HW)]
+            if dv < 0:
+                val = jnp.where(col < -dv, 0.0, val)
+            elif dv > 0:
+                val = jnp.where(col >= W - dv, 0.0, val)
+            acc = acc + w_ref[:, u * 5 + v][:, None] * val
+    y = acc + b_ref[:, :]
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    elif act is not None:
+        raise ValueError(act)
+    if out_scale is not None:
+        y_ref[0, :, :] = jnp.clip(jnp.round(y * (1.0 / out_scale)),
+                                  -127, 127).astype(jnp.int8)
+    else:
+        y_ref[0, :, :] = y.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "s_in", "act",
+                                             "out_scale"))
+def dwconv5x5_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
+                      s_in: float, H: int, W: int,
+                      act: str | None = "silu",
+                      out_scale: float | None = None) -> jax.Array:
+    """Depthwise 5x5 stride-1 conv on a flat (B, C, H*W) activation.
+
+    x: (B, C, H*W) int8 (at ``s_in``) or float (quantized in-kernel);
+    w: (5, 5, 1, C) HWIO depthwise kernel (or (5, 5, C)); bias: (C,).
+    Returns (B, C, H*W) bf16, or int8 at ``out_scale``.
+
+    The conv runs on the VPU (25 lane-shifted FMAs), not the MXU: a
+    depthwise conv has C independent 1-channel stencils, which the MXU
+    can only express as a g-fold-sparse dense matrix (the
+    DENSE_GROUPED rewrite pays 64x the MACs at C=64; the XLA VPU path
+    pays a layout flip on each side). s_in is folded into the weights
+    at trace time, so the kernel accumulates on raw int values.
+    """
+    B, C, HW = x.shape
+    assert HW == H * W, (x.shape, H, W)
+    if w.ndim == 4:
+        assert w.shape[:3] == (5, 5, 1), w.shape
+        w = w[:, :, 0]
+    wf = jnp.transpose(w, (2, 0, 1)).reshape(C, 25).astype(jnp.float32)
+    wf = wf * jnp.float32(s_in)
+    b2 = bias.reshape(C, 1).astype(jnp.float32)
+
+    slab_lanes = H * W + 4 * W + 128
+    TC = _pick_tc(C, slab_lanes)
+    out_dtype = jnp.int8 if out_scale is not None else jnp.bfloat16
+    kernel = functools.partial(
+        _dw5_kernel, TC=TC, H=H, W=W, act=act, s_in=float(s_in),
+        out_scale=out_scale, out_dtype=out_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, C // TC),
+        in_specs=[
+            pl.BlockSpec((1, TC, HW), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((TC, 25), lambda b, c: (c, 0)),
+            pl.BlockSpec((TC, 1), lambda b, c: (c, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TC, HW), lambda b, c: (b, c, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, C, HW), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TC, slab_lanes), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(x, wf, b2)
+
+
+def _spp_kernel(x_ref, y_ref, slab, *, C, H, W):
+    """One batch program: emit [x, p5, p9, p13] (4C, H*W) by three
+    chained separable 5-window max passes (max-pool composition:
+    5∘5 = 9, 9∘5 = 13). All compute in f32 (exact for int8 values;
+    Mosaic has no int8 vector max on this target)."""
+    HW = H * W
+    db = 2 * W + 2
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, HW), 1) % W
+
+    cur = x_ref[0].astype(jnp.float32)
+    y_ref[0, pl.ds(0, C), :] = x_ref[0]
+
+    for sec in range(1, 4):
+        # load cur into the halo'd slab (halo rows = -inf, max-neutral)
+        slab[:, :] = jnp.full(slab.shape, _NEG, jnp.float32)
+        slab[:, pl.ds(db, HW)] = cur
+        # horizontal 5-window max (mask cols that wrap across rows)
+        m = cur
+        for dv in (-2, -1, 1, 2):
+            val = slab[:, pl.ds(db + dv, HW)]
+            if dv < 0:
+                val = jnp.where(col < -dv, _NEG, val)
+            else:
+                val = jnp.where(col >= W - dv, _NEG, val)
+            m = jnp.maximum(m, val)
+        # vertical 5-window max over the row-pass result
+        slab[:, :] = jnp.full(slab.shape, _NEG, jnp.float32)
+        slab[:, pl.ds(db, HW)] = m
+        out = m
+        for du in (-2, -1, 1, 2):
+            out = jnp.maximum(out, slab[:, pl.ds(db + du * W, HW)])
+        cur = out
+        y_ref[0, pl.ds(sec * C, C), :] = out.astype(x_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W"))
+def spp_pools_flat(x: jax.Array, H: int, W: int) -> jax.Array:
+    """SPPCSPC max pyramid on a flat (B, C, H*W) tensor: returns the
+    (B, 4*C, H*W) concat [x, mp5(x), mp9(x), mp13(x)] (stride-1,
+    same-pad, reference models/common.py:283). int8 passes through at
+    the producer's scale (max commutes with the positive dequant).
+    Whole-image per program — SPPCSPC runs at the /32 level (20x20)
+    where the full (C, HW) block is a few hundred KB."""
+    B, C, HW = x.shape
+    assert HW == H * W, (x.shape, H, W)
+    slab_lanes = HW + 4 * W + 128
+    return pl.pallas_call(
+        functools.partial(_spp_kernel, C=C, H=H, W=W),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, C, HW), lambda b: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, 4 * C, HW), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 4 * C, HW), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((C, slab_lanes), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(x)
+
+
+def conv3x3s2_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
+                      s_in: float, H: int, W: int,
+                      act: str | None = "silu",
+                      out_scale: float | None = None) -> jax.Array:
+    """Stride-2 3x3 conv on a flat (B, C, H*W) int8 activation via the
+    exact space-to-depth decomposition (the stem fast path's trick,
+    nn/blocks.py RepSBlock._stem_fast_q8, generalized to any C):
+    s2d to (B, 4C, (H/2)*(W/2)), then the stride-1 flat kernel with
+    each 3x3 tap embedded at its {-1, 0} offset / phase slot (the v=2 /
+    u=2 taps carry zero weights). Returns (B, O, (H/2)*(W/2))."""
+    B, C, HW = x.shape
+    assert HW == H * W and H % 2 == 0 and W % 2 == 0, (x.shape, H, W)
+    O = w.shape[-1]
+    H2, W2 = H // 2, W // 2
+    xs = x.reshape(B, C, H2, 2, W2, 2)
+    xs = jnp.transpose(xs, (0, 3, 5, 1, 2, 4)).reshape(B, 4 * C, H2 * W2)
+    CP = -(-4 * C // 8) * 8
+    if CP > 4 * C:
+        xs = jnp.pad(xs, ((0, 0), (0, CP - 4 * C), (0, 0)))
+    w3 = jnp.zeros((3, 3, CP, O), jnp.float32)
+    # tap (di, dj) of the original 3x3 reads input row 2i+di-1 =
+    # phase (di+1)%2, s2d index i + {-1,0}; same for columns
+    for ap, pph, di in ((0, 1, 0), (1, 0, 1), (1, 1, 2)):
+        for bq, qph, dj in ((0, 1, 0), (1, 0, 1), (1, 1, 2)):
+            ch = (pph * 2 + qph) * C
+            w3 = w3.at[ap, bq, ch:ch + C].set(
+                w[di, dj].astype(jnp.float32))
+    return conv3x3_flat_q8(xs, w3, bias, float(s_in), H2, W2, act=act,
+                           out_scale=out_scale)
+
+
+def upsample2x_flat(x: jax.Array, H: int, W: int) -> jax.Array:
+    """Nearest-neighbor 2x upsample on a flat (B, C, H*W) tensor ->
+    (B, C, 4*H*W) (rows of the (2H, 2W) image in flat order). Pure XLA
+    broadcast — int8 in, int8 out at the same scale."""
+    B, C, HW = x.shape
+    assert HW == H * W, (x.shape, H, W)
+    y = x.reshape(B, C, H, 1, W, 1)
+    y = jnp.broadcast_to(y, (B, C, H, 2, W, 2))
+    return y.reshape(B, C, 4 * HW)
+
+
+def gs_shuffle_flat(x: jax.Array) -> jax.Array:
+    """GSConv channel shuffle (even-indexed channels first, then odd —
+    reference models/common.py:3819-3825) on a flat (B, C, H*W) tensor:
+    a fixed permutation of the sublane dim (one relayout copy), not the
+    minor-dim strided gather the NHWC graph pays."""
+    return jnp.concatenate([x[:, 0::2, :], x[:, 1::2, :]], axis=1)
