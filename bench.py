@@ -252,6 +252,10 @@ def _inner() -> None:
         # q8 region at b32 (BASELINE.md round-4; it LOSES in the b128
         # all-XLA bf16 graph, so it is scoped to this mode)
         blocks_lib.set_fused_attention(True)
+        # the dense-grouped rewrite LOSES in the q8 graph (+1.53 ms
+        # b32, REAL; it WINS at b128 bf16, so it stays on there —
+        # BASELINE.md round-5 A/B)
+        blocks_lib.set_dense_grouped(0)
         img_s_b32_q8 = measure(32, make_infer_loop())
         if img_s_b32_q8 > img_s_b32:
             img_s_b32, b32_mode = img_s_b32_q8, "q8"
@@ -260,6 +264,7 @@ def _inner() -> None:
     finally:
         blocks_lib.set_cmajor_deploy(None)
         blocks_lib.set_fused_attention(False)
+        blocks_lib.set_dense_grouped(64)
     _emit(round(img_s_b128, 1), round(img_s_b128 / BASELINE_IMG_S, 3),
           {"b32_img_s": round(img_s_b32, 1),
            "b32_vs_baseline": round(img_s_b32 / BASELINE_IMG_S, 3),

@@ -138,6 +138,12 @@ def main():
         c1_max = opts.der_max_c1
         blocks_lib.set_cmajor_deploy(opts.der_fast, scales,
                                      select=lambda c1, h, w: c1 <= c1_max)
+        if opts.der_fast == "q8":
+            # match bench.py's q8 serving mode: the dense-grouped
+            # rewrite measured a REAL +1.53 ms loss in the q8 graph
+            # (BASELINE.md round-5 A/B; it stays on for bf16 modes)
+            blocks_lib.set_dense_grouped(0)
+            print("dense-grouped rewrite off (q8 mode)", flush=True)
 
     def fwd(v, xc):
         out = deploy.apply(v, xc, train=False)
