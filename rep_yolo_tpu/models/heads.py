@@ -82,6 +82,35 @@ def _make_head_conv(no_na: int, c1: int, name: str):
     return _head_conv(no_na, c1, name)
 
 
+class _HeadConvParams(nn.Module):
+    """Param mirror of the plain head nn.Conv ({kernel, bias}, same
+    names/shapes) for the flat int8 region path — checkpoints stay
+    interchangeable (same pattern as _PaddedHeadConv)."""
+
+    no_na: int
+    c1: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", conv_kernel_init,
+                       (1, 1, self.c1, self.no_na))
+        b = self.param("bias", conv_bias_init_for(self.c1), (self.no_na,))
+        return k, b
+
+
+def _flat_head_level(parent: nn.Module, x, no_na: int, c1: int, i: int):
+    """Run one head level's 1x1 conv on a flat int8 input (FlatT): the
+    conv consumes the region tensor directly (per-channel scales folded
+    into the weight rows) and the raw map exits to NHWC bf16 — the only
+    relayout is of the tiny (B, na*no, H*W) output."""
+    from rep_yolo_tpu.ops.pallas import neck_flat as nf
+
+    kern, bias = _HeadConvParams(no_na, c1, name=f"m_{i}")()
+    y = nf.flat_conv(x, kern, bias, 1, 1, 1, None, None)  # (B,no_na,HW)
+    b = y.shape[0]
+    return jnp.transpose(y, (0, 2, 1)).reshape(b, x.h, x.w, no_na)
+
+
 class Detect(nn.Module):
     """Plain YOLO detect head: per-level 1x1 conv (reference models/yolo.py:23-49)."""
 
@@ -137,16 +166,25 @@ class IDetect(nn.Module):
 
     @nn.compact
     def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        from rep_yolo_tpu.ops.pallas import neck_flat as nf
+
         outs = []
         for i, x in enumerate(xs):
-            if not self.deploy:
-                ia = self.param(f"ia_{i}", implicit_init(0.0), (1, 1, 1, self.ch[i]))
-                x = x + ia
-            y = _make_head_conv(self.no * self.na, self.ch[i], f"m_{i}")(x)
-            if not self.deploy:
-                im = self.param(f"im_{i}", implicit_init(1.0),
-                                (1, 1, 1, self.no * self.na))
-                y = y * im
+            if isinstance(x, nf.FlatT):
+                assert self.deploy and not train
+                y = _flat_head_level(self, x, self.no * self.na,
+                                     self.ch[i], i)
+            else:
+                if not self.deploy:
+                    ia = self.param(f"ia_{i}", implicit_init(0.0),
+                                    (1, 1, 1, self.ch[i]))
+                    x = x + ia
+                y = _make_head_conv(self.no * self.na, self.ch[i],
+                                    f"m_{i}")(x)
+                if not self.deploy:
+                    im = self.param(f"im_{i}", implicit_init(1.0),
+                                    (1, 1, 1, self.no * self.na))
+                    y = y * im
             b, h, w, _ = y.shape
             outs.append(y.reshape(b, h, w, self.na, self.no))
         return outs

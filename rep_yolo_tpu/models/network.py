@@ -45,14 +45,17 @@ for _inner in ("Bottleneck", "RepBottleneck", "Res", "RepRes", "ResX",
         _CSP_MAP[f"{_inner}CSP{_v}"] = (_v, _inner)
 
 
-def build_module(spec: LayerSpec, deploy: bool) -> nn.Module:
+def build_module(spec: LayerSpec, deploy: bool,
+                 cm_out: float | str | None = None) -> nn.Module:
     """Instantiate the flax module for a plan row. Name = `l{i}` for stable
-    param paths across train/deploy variants."""
+    param paths across train/deploy variants. ``cm_out`` threads the flat
+    int8 region's output-scale target into the block types that support
+    the flat path (ignored by the rest)."""
     name = f"l{spec.i}"
     a = spec.args
     n = spec.name
     if n == "Conv":
-        return B.ConvBnAct(*a, deploy=deploy, name=name)
+        return B.ConvBnAct(*a, deploy=deploy, cm_out=cm_out, name=name)
     if n == "DWConv":
         k = a[1] if len(a) > 1 else 1
         s = a[2] if len(a) > 2 else 1
@@ -61,7 +64,7 @@ def build_module(spec: LayerSpec, deploy: bool) -> nn.Module:
     if n == "GhostConv":
         return B.GhostConv(*a, deploy=deploy, name=name)
     if n == "RepConv":
-        return B.RepConv(spec.c1, *a, deploy=deploy, name=name)
+        return B.RepConv(spec.c1, *a, deploy=deploy, cm_out=cm_out, name=name)
     if n == "RepS_Block":
         # yaml args: [c2, k, s, p]; num_conv_branches pinned to the
         # reference default for the Rep-YOLO cfg (models/common.py:3387).
@@ -76,16 +79,16 @@ def build_module(spec: LayerSpec, deploy: bool) -> nn.Module:
         ncb = a[2] if len(a) > 2 else 1
         return B.DERBlock(spec.c1, c2, nbs, ncb, deploy=deploy, name=name)
     if n == "SPPCSPC":
-        return B.SPPCSPC(a[0], n=a[1], deploy=deploy, name=name)
+        return B.SPPCSPC(a[0], n=a[1], deploy=deploy, cm_out=cm_out, name=name)
     if n == "SPP":
         return B.SPP(a[0], tuple(a[1]) if len(a) > 1 else (5, 9, 13),
                      deploy=deploy, name=name)
     if n == "SPPF":
         return B.SPPF(a[0], a[1] if len(a) > 1 else 5, deploy=deploy, name=name)
     if n == "GSConv":
-        return B.GSConv(*a, deploy=deploy, name=name)
+        return B.GSConv(*a, deploy=deploy, cm_out=cm_out, name=name)
     if n == "VoVGSCSP":
-        return B.VoVGSCSP(a[0], deploy=deploy, name=name)
+        return B.VoVGSCSP(a[0], deploy=deploy, cm_out=cm_out, name=name)
     if n == "CA":
         return B.CA(*a, name=name)
     if n == "CCVA":
@@ -256,12 +259,99 @@ class DetectionNet(nn.Module):
         nhwc_cache: dict[int, jax.Array] = {}
         plan: dict[int, str] = {}
         pooled: set[int] = set()   # DERs whose cv1 fused the trailing MP
+        neck = q8_region and B.NECK_Q8
         if q8_region:
+            from rep_yolo_tpu.ops.pallas import neck_flat as nf
+
             cons: dict[int, list] = {}
             for sp in self.cfg.layers:
                 for j in sp.f:
                     jj = sp.i - 1 if j == -1 else j
                     cons.setdefault(jj, []).append(sp.i)
+
+            # ---- flat int8 NECK region planning (round 5) ----------
+            # Post-backbone spans (SPPCSPC -> GSConv/VoVGSCSP FPN/PAN ->
+            # sandwich Convs -> RepConv heads -> IDetect convs) run on
+            # the flat kernels; the CA/CCVA/ADD attention sandwiches
+            # stay bf16 islands (region exits before, re-enters after
+            # with one cheap deep-shape quantize). Activations flow as
+            # neck_flat.FlatT (int8 + static scale metadata); concats
+            # stay unmaterialized lists consumed as accumulating dot
+            # sections by the 1x1 kernels.
+            _FLAT_ENTRY = {"Conv": "conv", "GSConv": "cv1/conv",
+                           "VoVGSCSP": "cv1/conv", "SPPCSPC": "cv1/conv",
+                           "RepConv": "rbr_reparam"}
+            _FLAT_PASS = {"MP", "Upsample", "nn.Upsample", "Concat"}
+
+            def fsc(key: str):
+                s = B.CMAJOR_SCALES.get(key)
+                return float(s) if s is not None and s > 0.0 else None
+
+            def _req_keys(sp) -> list[str]:
+                pfx, n2, a = f"l{sp.i}", sp.name, sp.args
+                if n2 == "Conv":
+                    return [f"{pfx}/conv"]
+                if n2 == "GSConv":
+                    return [f"{pfx}/cv1/conv", f"{pfx}/cv2/conv"]
+                if n2 == "VoVGSCSP":
+                    ks = [f"{pfx}/cv1/conv", f"{pfx}/cv2/conv",
+                          f"{pfx}/cv3/conv"]
+                    for r in range(a[1] if len(a) > 1 else 1):
+                        g = f"{pfx}/gsb_{r}"
+                        ks += [f"{g}/gs1/cv1/conv", f"{g}/gs1/cv2/conv",
+                               f"{g}/gs2/cv1/conv", f"{g}/gs2/cv2/conv",
+                               f"{g}/shortcut/conv"]
+                    return ks
+                if n2 == "SPPCSPC":
+                    return [f"{pfx}/cv{j}/conv" for j in range(1, 8)]
+                if n2 == "RepConv":
+                    return [f"{pfx}/rbr_reparam"]
+                return []
+
+            def flat_ok(sp) -> bool:
+                n2, a = sp.name, sp.args
+                if not neck or n2 not in _FLAT_ENTRY:
+                    return False
+                if n2 == "Conv":
+                    k = a[1] if len(a) > 1 else 1
+                    st = a[2] if len(a) > 2 else 1
+                    if k not in (1, 3) or st != 1:
+                        return False
+                elif n2 == "GSConv":
+                    k = a[1] if len(a) > 1 else 1
+                    st = a[2] if len(a) > 2 else 1
+                    if (k, st) not in ((1, 1), (3, 1), (3, 2)):
+                        return False
+                elif n2 == "RepConv":
+                    if (a[1] if len(a) > 1 else 3) != 3 \
+                            or (a[2] if len(a) > 2 else 1) != 1:
+                        return False
+                return all(fsc(k_) is not None for k_ in _req_keys(sp))
+
+            def chase_scale(i: int, depth: int = 0):
+                """Scale to emit layer i's flat output at: the entry
+                scale of its first flat consumer, chasing through the
+                scale-preserving pass-through ops."""
+                if depth > 8:
+                    return None
+                for k in cons.get(i, []):
+                    sp2 = self.cfg.layers[k]
+                    n2 = sp2.name
+                    if n2 in _FLAT_PASS:
+                        s = chase_scale(sp2.i, depth + 1)
+                        if s is not None:
+                            return s
+                    elif n2 == "IDetect":
+                        srcs = [sp2.i - 1 if j == -1 else j
+                                for j in sp2.f]
+                        s = fsc(f"l{sp2.i}/m_{srcs.index(i)}")
+                        if s is not None:
+                            return s
+                    elif flat_ok(sp2):
+                        s = fsc(f"l{sp2.i}/{_FLAT_ENTRY[n2]}")
+                        if s is not None:
+                            return s
+                return None
 
             def st1_scale(i: int):
                 suffix = f"l{i}/stage1/reparam_conv"
@@ -316,13 +406,21 @@ class DetectionNet(nn.Module):
 
         for spec in self.cfg.layers:
             # Gather inputs (region tensors are converted lazily unless
-            # the consumer participates in the region — DER/MP below).
+            # the consumer participates in the region — DER/MP below,
+            # or the flat neck region's own ops).
             cm_consumer = q8_region and spec.name in ("DER_Block", "MP")
+            flat_keep = (neck and (spec.name in _FLAT_PASS
+                                   or spec.name == "IDetect"
+                                   or flat_ok(spec)))
 
             def fetch(j):
                 t = y if j in (spec.i - 1, -1) else saved[j]
                 if q8_region and j in cm and not cm_consumer:
                     return to_nhwc(j, t)
+                if q8_region and nf.is_flat(t) and not flat_keep:
+                    if j not in nhwc_cache:
+                        nhwc_cache[j] = nf.flat_to_nhwc(t)
+                    return nhwc_cache[j]
                 return t
 
             if len(spec.f) == 1:
@@ -332,7 +430,17 @@ class DetectionNet(nn.Module):
 
             n = spec.name
             if n == "Concat":
-                y = jnp.concatenate(inp, axis=-1)
+                if neck and all(nf.is_flat(t) for t in inp):
+                    # unmaterialized: a flat list consumed as per-section
+                    # accumulating dots by the 1x1 conv kernels
+                    y = []
+                    for t in inp:
+                        y.extend(t if isinstance(t, (list, tuple)) else [t])
+                    plan[spec.i] = "in-region concat (unmaterialized)"
+                else:
+                    inp = [nf.flat_to_nhwc(t) if q8_region and nf.is_flat(t)
+                           else t for t in inp]
+                    y = jnp.concatenate(inp, axis=-1)
             elif n == "ADD":
                 y = inp[0] + inp[1]  # broadcasts CA's (B,1,1,C) quirk output
             elif n == "Shortcut":
@@ -349,7 +457,23 @@ class DetectionNet(nn.Module):
                 y = B.ReOrg()(inp)
             elif n == "MP":
                 j = spec.i - 1 if spec.f[0] == -1 else spec.f[0]
-                if q8_region and j in pooled:
+                if neck and isinstance(inp, nf.FlatT):
+                    # neck-region MP: pool the flat int8 (scale-preserving)
+                    from rep_yolo_tpu.ops.pallas import pool_flat
+                    from rep_yolo_tpu.ops.pallas.conv_flat import \
+                        max_pool_cm
+
+                    t = inp
+                    bsz, c = t.data.shape[0], t.c
+                    if pool_flat.supports(c, t.h, t.w):
+                        d = pool_flat.max_pool2_flat(t.data, t.h, t.w)
+                        plan[spec.i] = "in-region flat int8 pool (neck)"
+                    else:
+                        d = max_pool_cm(t.data.reshape(bsz, c, t.h, t.w))
+                        d = d.reshape(bsz, c, (t.h // 2) * (t.w // 2))
+                        plan[spec.i] = "in-region pool via max_pool_cm (neck)"
+                    y = nf.FlatT(d, t.scale, t.h // 2, t.w // 2)
+                elif q8_region and j in pooled:
                     # the producing DER's cv1 already emitted the pooled
                     # map (cm_pool fusion) — this MP is an identity
                     y = inp
@@ -383,7 +507,12 @@ class DetectionNet(nn.Module):
                 s = spec.args[1] if len(spec.args) > 1 else 1
                 y = B.max_pool(inp, k, s, k // 2)
             elif n in ("nn.Upsample", "Upsample"):
-                y = B.upsample2x_nearest(inp)
+                if neck and isinstance(inp, nf.FlatT):
+                    y = nf.FlatT(nf.upsample2x_flat(inp.data, inp.h, inp.w),
+                                 inp.scale, inp.h * 2, inp.w * 2)
+                    plan[spec.i] = "in-region flat upsample"
+                else:
+                    y = B.upsample2x_nearest(inp)
             elif (n == "RepS_Block" and q8_region
                     and isinstance(spec.c1, int) and spec.c1 <= 4
                     and (spec.args[1] if len(spec.args) > 1 else 3) == 3
@@ -473,6 +602,21 @@ class DetectionNet(nn.Module):
                         + ("NHWC bf16 out (no cm successor)" if ok
                            else ("NHWC out (select gate or calibration "
                                  "declined)")))
+            elif neck and flat_ok(spec):
+                out_s = chase_scale(spec.i)
+                if nf.is_flat(inp):
+                    inp_f = inp
+                    entry = ""
+                else:
+                    se = fsc(f"l{spec.i}/{_FLAT_ENTRY[n]}")
+                    inp_f = nf.quantize_to_flat(inp, se, inp.shape[1],
+                                                inp.shape[2])
+                    entry = "neck entry quantize; "
+                mod = build_module(spec, True, cm_out=out_s)
+                y = mod(inp_f, train)
+                plan[spec.i] = (entry + f"in-region {n} -> "
+                                + ("int8" if out_s is not None
+                                   else "NHWC exit"))
             else:
                 is_head = n in ("Detect", "IDetect", "IAuxDetect", "IBin",
                                 "IKeypoint")

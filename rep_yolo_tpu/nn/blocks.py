@@ -204,6 +204,28 @@ _CMAJOR_SELECT = lambda c1, h, w: c1 <= 128
 # pool_hw — bit-exact; the standalone pool kernel and 3/4 of cv1's
 # output write disappear). Set before the first trace, like the other
 # cmajor flags (jit caches are not keyed on it).
+# Round-5 flat int8 NECK region: when the q8 mode is active, the planner
+# (models/network.py) also routes SPPCSPC / GSConv / VoVGSCSP / Conv /
+# RepConv / IDetect spans through the flat kernels (bf16 islands remain
+# at the CA/CCVA/ADD attention sandwiches). Trace-time global, same
+# contract as CMAJOR_DEPLOY.
+NECK_Q8 = True
+
+
+def set_neck_q8(enable: bool) -> None:
+    """Gate the flat int8 neck region (requires mode "q8"). Trace-time."""
+    global NECK_Q8
+    NECK_Q8 = bool(enable)
+
+
+def cm_scale_for(mod: nn.Module, sub: str) -> float | None:
+    """Calibrated activation scale for a conv under this module's scope
+    (key = ConvUnit scope path, as produced by ops/quant.calibrate)."""
+    prefix = "/".join(mod.scope.path) if mod.scope is not None else ""
+    s = CMAJOR_SCALES.get(f"{prefix}/{sub}" if prefix else sub)
+    return float(s) if s is not None and s > 0.0 else None
+
+
 CMAJOR_POOL_FUSE = True
 
 
@@ -369,6 +391,12 @@ class ConvUnit(nn.Module):
 
     Routes through the int8 PTQ path (ops/quant.py) when this conv has a
     calibrated activation scale and the quantization registry selects it.
+
+    Flat-region input (ops/pallas/neck_flat.FlatT, or a list of them —
+    an unmaterialized concat): runs the fused flat int8 kernel instead,
+    with ``cm_act`` fused into the epilogue and the output quantized at
+    ``cm_out`` (float -> FlatT; None/"bf16" -> raw (B, O, H*W) bf16,
+    the caller handles the exit relayout).
     """
 
     c2: int
@@ -377,10 +405,26 @@ class ConvUnit(nn.Module):
     p: int | None = None
     g: int = 1
     use_bias: bool = False
+    cm_act: str | None = None
+    cm_out: float | str | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x) -> jax.Array:
         from rep_yolo_tpu.ops import quant
+        from rep_yolo_tpu.ops.pallas import neck_flat
+
+        if neck_flat.is_flat(x):
+            if isinstance(x, (list, tuple)):
+                c1 = sum(t.c for t in x)
+            else:
+                c1 = x.c
+            fan_in = (c1 // self.g) * self.k * self.k
+            shape = (self.k, self.k, c1 // self.g, self.c2)
+            kern, bias = _ConvParams(shape, self.use_bias, fan_in,
+                                     name="w")()
+            out_s = self.cm_out if isinstance(self.cm_out, float) else None
+            return neck_flat.flat_conv(x, kern, bias, self.k, self.s,
+                                       self.g, self.cm_act, out_s)
 
         p = autopad(self.k, self.p)
         c1 = x.shape[-1]
@@ -471,9 +515,24 @@ class ConvBnAct(nn.Module):
     g: int = 1
     act: str | None = "silu"
     deploy: bool = False
+    # flat-region output target (see ConvUnit.cm_out): float -> FlatT at
+    # that scale; "bf16" -> flat (B, c2, H*W) bf16; None -> NHWC exit.
+    cm_out: float | str | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x, train: bool = False) -> jax.Array:
+        from rep_yolo_tpu.ops.pallas import neck_flat
+
+        if neck_flat.is_flat(x):
+            assert self.deploy and not train
+            h, w = neck_flat.flat_hw(x)
+            y = ConvUnit(self.c2, self.k, self.s, self.p, self.g,
+                         use_bias=True, cm_act=self.act,
+                         cm_out=self.cm_out, name="conv")(x)
+            if self.cm_out is None:
+                return neck_flat.bf16_flat_to_nhwc(y, h // self.s,
+                                                   w // self.s)
+            return y
         y = ConvUnit(self.c2, self.k, self.s, self.p, self.g,
                      use_bias=self.deploy, name="conv")(x)
         if not self.deploy:
@@ -910,10 +969,21 @@ class RepConv(nn.Module):
     g: int = 1
     act: str | None = "silu"
     deploy: bool = False
+    cm_out: float | str | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x, train: bool = False) -> jax.Array:
+        from rep_yolo_tpu.ops.pallas import neck_flat as nf
+
         assert self.k == 3
+        if nf.is_flat(x):
+            h, w = nf.flat_hw(x)
+            y = ConvUnit(self.c2, 3, self.s, 1, self.g, use_bias=True,
+                         cm_act=self.act, cm_out=self.cm_out,
+                         name="rbr_reparam")(x)
+            if self.cm_out is None:
+                return nf.bf16_flat_to_nhwc(y, h // self.s, w // self.s)
+            return y
         if self.deploy:
             y = ConvUnit(self.c2, 3, self.s, 1, self.g, use_bias=True,
                          name="rbr_reparam")(x)
@@ -940,11 +1010,36 @@ class SPPCSPC(nn.Module):
     e: float = 0.5
     k: tuple[int, ...] = (5, 9, 13)
     deploy: bool = False
+    cm_out: float | str | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x, train: bool = False) -> jax.Array:
+        from rep_yolo_tpu.ops.pallas import neck_flat as nf
+
         c_ = int(2 * self.c2 * self.e)
         dep = self.deploy
+        if nf.is_flat(x):
+            # flat path: the k=(5,9,13) pyramid runs as one Pallas
+            # kernel emitting the 4-way concat (max commutes with the
+            # dequant scale, so the pools are pure int8 passthrough)
+            assert self.k == (5, 9, 13), self.k
+            import numpy as np
+
+            h, w = nf.flat_hw(x)
+            ss = {nm: cm_scale_for(self, f"{nm}/conv")
+                  for nm in ("cv3", "cv4", "cv5", "cv6", "cv7")}
+            assert all(s is not None for s in ss.values()), ss
+            cvf = lambda name, c, k_, out: ConvBnAct(
+                c, k_, 1, deploy=True, cm_out=out, name=name)
+            x1 = cvf("cv1", c_, 1, ss["cv3"])(x, train)
+            x1 = cvf("cv3", c_, 3, ss["cv4"])(x1, train)
+            x1 = cvf("cv4", c_, 1, ss["cv5"])(x1, train)
+            pooled = nf.FlatT(nf.spp_pools_flat(x1.data, h, w),
+                              np.tile(x1.scale_vec(), 4), h, w)
+            y1 = cvf("cv5", c_, 1, ss["cv6"])(pooled, train)
+            y1 = cvf("cv6", c_, 3, ss["cv7"])(y1, train)
+            y2 = cvf("cv2", c_, 1, ss["cv7"])(x, train)
+            return cvf("cv7", self.c2, 1, self.cm_out)([y1, y2], train)
         cv = lambda name, c, k_, s: ConvBnAct(c, k_, s, deploy=dep, name=name)
         x1 = cv("cv4", c_, 1, 1)(cv("cv3", c_, 3, 1)(cv("cv1", c_, 1, 1)(x, train), train), train)
         pooled = [x1] + [max_pool(x1, k_, 1, k_ // 2) for k_ in self.k]
@@ -1007,15 +1102,53 @@ class GSConv(nn.Module):
     g: int = 1
     act: str | None = "silu"
     deploy: bool = False
+    cm_out: float | str | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x, train: bool = False) -> jax.Array:
+        from rep_yolo_tpu.ops.pallas import neck_flat
+
         c_ = self.c2 // 2
+        if neck_flat.is_flat(x):
+            return self._flat_q8(x, train, c_, neck_flat)
         x1 = ConvBnAct(c_, self.k, self.s, self.p, self.g, self.act,
                        self.deploy, name="cv1")(x, train)
         x2 = ConvBnAct(c_, 5, 1, self.p, c_, self.act,
                        self.deploy, name="cv2")(x1, train)
         return gs_shuffle(jnp.concatenate([x1, x2], axis=-1))
+
+    def _flat_q8(self, x, train, c_, nf):
+        """Flat int8 region path: cv1 emits int8 at cv2's calibrated
+        input scale, the 5x5 depthwise runs on the VPU flat kernel, and
+        the even/odd channel shuffle is a sublane permutation (per-
+        channel scale metadata shuffles with it — exact across the
+        mixed-scale concat)."""
+        import numpy as np
+
+        h, w = nf.flat_hw(x)
+        h2, w2 = h // self.s, w // self.s
+        s_cv2 = cm_scale_for(self, "cv2/conv")
+        assert s_cv2 is not None, "planner routed flat without cv2 scale"
+        x1 = ConvBnAct(c_, self.k, self.s, self.p, self.g, self.act,
+                       True, cm_out=s_cv2, name="cv1")(x, train)
+        out_t = self.cm_out
+        if isinstance(out_t, float):
+            x2 = ConvBnAct(c_, 5, 1, self.p, c_, self.act, True,
+                           cm_out=out_t, name="cv2")(x1, train)
+            sv = np.concatenate([x1.scale_vec(), x2.scale_vec()])
+            data = jnp.concatenate([x1.data, x2.data], axis=1)
+            shuf = nf.gs_shuffle_flat(data)
+            sv = np.concatenate([sv[0::2], sv[1::2]])
+            return nf.FlatT(shuf, sv, h2, w2)
+        # float exit ("bf16" flat or NHWC): dequant x1, keep cv2 float
+        x2 = ConvBnAct(c_, 5, 1, self.p, c_, self.act, True,
+                       cm_out="bf16", name="cv2")(x1, train)
+        x1f = x1.data.astype(jnp.bfloat16) * jnp.bfloat16(float(s_cv2))
+        data = jnp.concatenate([x1f, x2], axis=1)
+        shuf = nf.gs_shuffle_flat(data)
+        if out_t == "bf16":
+            return shuf
+        return nf.bf16_flat_to_nhwc(shuf, h2, w2)
 
 
 class GSBottleneck(nn.Module):
@@ -1031,10 +1164,34 @@ class GSBottleneck(nn.Module):
     e: float = 0.5
     cheap: bool = False
     deploy: bool = False
+    cm_out: float | str | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x, train: bool = False) -> jax.Array:
+        from rep_yolo_tpu.ops.pallas import neck_flat as nf
+
         c_ = int(self.c2 * self.e)
+        if nf.is_flat(x):
+            # flat path: the residual add runs in flat bf16 (both
+            # branches emit float; int8 addition would need a shared
+            # scale that calibration does not provide for the addends),
+            # then requants at cm_out — one cheap elementwise pass
+            assert not self.cheap, "flat path: GSBottleneckC unsupported"
+            h, w = nf.flat_hw(x)
+            s_gs2 = cm_scale_for(self, "gs2/cv1/conv")
+            assert s_gs2 is not None
+            y = GSConv(c_, 1, 1, deploy=True, cm_out=s_gs2,
+                       name="gs1")(x, train)
+            y = GSConv(self.c2, 3, 1, act=None, deploy=True,
+                       cm_out="bf16", name="gs2")(y, train)
+            sc = ConvBnAct(self.c2, 1, 1, act=None, deploy=True,
+                           cm_out="bf16", name="shortcut")(x, train)
+            out = y + sc
+            if isinstance(self.cm_out, float):
+                return nf.quantize_flat_bf16(out, self.cm_out, h, w)
+            if self.cm_out == "bf16":
+                return out
+            return nf.bf16_flat_to_nhwc(out, h, w)
         y = GSConv(c_, 1, 1, deploy=self.deploy, name="gs1")(x, train)
         y = GSConv(self.c2, 3, 1, act=None, deploy=self.deploy, name="gs2")(y, train)
         if self.cheap:
@@ -1061,10 +1218,30 @@ class VoVGSCSP(nn.Module):
     e: float = 0.5
     cheap: bool = False
     deploy: bool = False
+    cm_out: float | str | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x, train: bool = False) -> jax.Array:
+        from rep_yolo_tpu.ops.pallas import neck_flat as nf
+
         c_ = int(self.c2 * self.e)
+        if nf.is_flat(x):
+            assert not self.cheap, "flat path: VoVGSCSPC unsupported"
+            s_cv3 = cm_scale_for(self, "cv3/conv")
+            s_gsb = cm_scale_for(self, "gsb_0/gs1/cv1/conv")
+            assert s_cv3 is not None and s_gsb is not None
+            x1 = ConvBnAct(c_, 1, 1, deploy=True, cm_out=s_gsb,
+                           name="cv1")(x, train)
+            for i in range(self.n):
+                nxt = (cm_scale_for(self, f"gsb_{i + 1}/gs1/cv1/conv")
+                       if i + 1 < self.n else s_cv3)
+                assert nxt is not None
+                x1 = GSBottleneck(c_, e=1.0, deploy=True, cm_out=nxt,
+                                  name=f"gsb_{i}")(x1, train)
+            y = ConvBnAct(c_, 1, 1, deploy=True, cm_out=s_cv3,
+                          name="cv2")(x, train)
+            return ConvBnAct(self.c2, 1, deploy=True, cm_out=self.cm_out,
+                             name="cv3")([y, x1], train)
         x1 = ConvBnAct(c_, 1, 1, deploy=self.deploy, name="cv1")(x, train)
         if self.cheap:
             # VoVGSCSPC: one GSBottleneckC(k=1,s=1) (models/common.py:3863-3868)

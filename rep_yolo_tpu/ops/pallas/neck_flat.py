@@ -38,30 +38,168 @@ weights HWIO floats, packed at trace time.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rep_yolo_tpu.ops.pallas.conv_flat import conv3x3_flat_q8
+from rep_yolo_tpu.ops.pallas.conv_flat import (conv1x1_flat_q8,
+                                               conv3x3_flat_q8)
 
 _NEG = -1e9  # max-identity for f32 compute over int8 values
 
 
-def _pick_tc(C: int, slab_lanes: int, bytes_per_lane: int = 8,
-             budget: int = 3 << 20) -> int:
-    """Channel tile: largest divisor of C (32-multiple, or C itself)
-    whose f32 slab + int8 blocks fit the VMEM budget."""
+@dataclasses.dataclass
+class FlatT:
+    """A flat-region activation: ``data`` is (B, C, H*W) int8 row-major;
+    ``scale`` is the dequant scale — a python float, or a per-channel
+    numpy vector of length C (produced by concats of sections quantized
+    at different scales; consumers fold it into their weight rows at
+    trace time, which is how the region stays exact across concat
+    boundaries without a rescale op). Static metadata only — never
+    traced."""
+
+    data: jax.Array
+    scale: float | np.ndarray
+    h: int
+    w: int
+
+    @property
+    def c(self) -> int:
+        return self.data.shape[1]
+
+    def scale_vec(self) -> np.ndarray:
+        if isinstance(self.scale, np.ndarray):
+            return self.scale
+        return np.full((self.c,), float(self.scale), np.float32)
+
+
+def is_flat(x) -> bool:
+    """True for a FlatT or a non-empty all-FlatT list (an unmaterialized
+    concat — consumed by the 1x1 conv kernels as accumulating sections)."""
+    if isinstance(x, FlatT):
+        return True
+    return (isinstance(x, (list, tuple)) and len(x) > 0
+            and all(isinstance(t, FlatT) for t in x))
+
+
+def flat_hw(x) -> tuple[int, int]:
+    t = x if isinstance(x, FlatT) else x[0]
+    return t.h, t.w
+
+
+def quantize_to_flat(x_nhwc: jax.Array, s: float, h: int, w: int) -> FlatT:
+    """NHWC float -> flat int8 region entry. Quantize BEFORE the
+    transpose, behind a barrier (the DER-entry pattern: otherwise XLA
+    hoists the relayout above the quantize and moves 2x the bytes)."""
+    b, _, _, c = x_nhwc.shape
+    xq = jnp.clip(jnp.round(x_nhwc.astype(jnp.float32) * (1.0 / s)),
+                  -127, 127).astype(jnp.int8)
+    xq = jax.lax.optimization_barrier(xq)
+    return FlatT(jnp.transpose(xq, (0, 3, 1, 2)).reshape(b, c, h * w),
+                 float(s), h, w)
+
+
+def flat_to_nhwc(x) -> jax.Array:
+    """Dequantize + relayout a FlatT (or unmaterialized concat) for an
+    NHWC bf16 consumer (region exit)."""
+    if isinstance(x, (list, tuple)):
+        return jnp.concatenate([flat_to_nhwc(t) for t in x], axis=-1)
+    sv = x.scale_vec()
+    if np.all(sv == sv[0]):
+        out = x.data.astype(jnp.bfloat16) * jnp.bfloat16(float(sv[0]))
+    else:
+        out = x.data.astype(jnp.bfloat16) * jnp.asarray(
+            sv, jnp.bfloat16)[None, :, None]
+    b, c = x.data.shape[:2]
+    return jnp.transpose(out.reshape(b, c, x.h, x.w), (0, 2, 3, 1))
+
+
+def bf16_flat_to_nhwc(y: jax.Array, h: int, w: int) -> jax.Array:
+    """(B, C, H*W) bf16 -> NHWC (exit of a block whose last conv emitted
+    float)."""
+    b, c = y.shape[:2]
+    return jnp.transpose(y.reshape(b, c, h, w), (0, 2, 3, 1))
+
+
+def quantize_flat_bf16(y: jax.Array, s: float, h: int, w: int) -> FlatT:
+    """(B, C, H*W) float -> FlatT at scale s (re-entry after a float
+    elementwise island, e.g. the GSBottleneck residual add)."""
+    q = jnp.clip(jnp.round(y.astype(jnp.float32) * (1.0 / s)),
+                 -127, 127).astype(jnp.int8)
+    return FlatT(q, float(s), h, w)
+
+
+def _fold(kern: jax.Array, sv: np.ndarray) -> jax.Array:
+    """Fold per-input-channel dequant scales into an HWIO kernel so the
+    int8 dot can run with s_in = 1 (the DER cv1 concat trick,
+    generalized per-channel)."""
+    return kern.astype(jnp.float32) * jnp.asarray(
+        sv, jnp.float32)[None, None, :, None]
+
+
+def flat_conv(x, kern: jax.Array, bias: jax.Array, k: int, s: int, g: int,
+              act: str | None, out_scale: float | None):
+    """Dispatch a conv on flat int8 input(s) to the right kernel.
+
+    x: FlatT or list[FlatT] (k==1 only — the unmaterialized concat).
+    kern: (k, k, Cin/g, Cout) HWIO float; bias: (Cout,) or None.
+    Returns FlatT at ``out_scale``, or raw (B, Cout, H'*W') bf16 when
+    ``out_scale`` is None (caller decides flat-bf16 vs NHWC exit).
+    """
+    h, w = flat_hw(x)
+    O = kern.shape[-1]
+    if bias is None:
+        bias = jnp.zeros((O,), jnp.float32)
+    if isinstance(x, (list, tuple)):
+        assert k == 1 and s == 1 and g == 1, (k, s, g)
+        sv = np.concatenate([t.scale_vec() for t in x])
+        y = conv1x1_flat_q8([t.data for t in x], _fold(kern, sv), bias,
+                            1.0, act=act, out_scale=out_scale)
+    elif k == 1:
+        assert s == 1 and g == 1, (k, s, g)
+        y = conv1x1_flat_q8(x.data, _fold(kern, x.scale_vec()), bias,
+                            1.0, act=act, out_scale=out_scale)
+    elif k == 5 and g == x.c and O == x.c:
+        # depthwise: per-channel scale folds into the (5,5,1,C) kernel
+        kf = kern.astype(jnp.float32) * jnp.asarray(
+            x.scale_vec(), jnp.float32)[None, None, None, :]
+        y = dwconv5x5_flat_q8(x.data, kf, bias, 1.0, h, w, act=act,
+                              out_scale=out_scale)
+    elif k == 3 and g == 1 and s == 1:
+        y = conv3x3_flat_q8(x.data, _fold(kern, x.scale_vec()), bias,
+                            1.0, h, w, act=act, out_scale=out_scale)
+    elif k == 3 and g == 1 and s == 2:
+        y = conv3x3s2_flat_q8(x.data, _fold(kern, x.scale_vec()), bias,
+                              1.0, h, w, act=act, out_scale=out_scale)
+        h, w = h // 2, w // 2
+    else:
+        raise ValueError(f"no flat kernel for k={k} s={s} g={g}")
+    if out_scale is None:
+        return y
+    return FlatT(y, float(out_scale), h, w)
+
+
+def _pick_tc(C: int, slab_lanes: int, bytes_per_lane: int = 12,
+             budget: int = 2 << 20) -> int:
+    """Channel tile: largest divisor of C (8-multiple, or C itself)
+    whose f32 slab + accumulator + temporaries (~bytes_per_lane bytes
+    per slab lane) fit the budget. The budget is deliberately small:
+    Mosaic stack-allocates the unrolled tap temporaries on top of the
+    declared scratch, and the scoped-vmem limit is a hard 16 MB (a
+    TC=128 tile at 40x40 compiled to a 17 MB stack and was rejected)."""
     for tc in sorted((d for d in range(1, C + 1) if C % d == 0
-                      and (d % 32 == 0 or d == C)), reverse=True):
+                      and (d % 8 == 0 or d == C)), reverse=True):
         if tc * slab_lanes * bytes_per_lane <= budget:
             return tc
     return 1
 
 
-def _dw5_kernel(x_ref, w_ref, b_ref, y_ref, slab, *, TC, H, W, act,
+def _dw5_kernel(x_ref, w_ref, b_ref, y_ref, slab, acc, *, TC, H, W, act,
                 s_in, out_scale, out_dtype):
     """Whole-image depthwise 5x5 program for one (batch, channel-tile).
 
@@ -69,7 +207,10 @@ def _dw5_kernel(x_ref, w_ref, b_ref, y_ref, slab, *, TC, H, W, act,
     valued) image with 2 zero halo rows on each side; taps are plain
     lane-shifted slices with an iota mask killing the columns that wrap
     across row seams in the flat layout (same idiom as conv_flat's
-    im2col)."""
+    im2col). The 25-tap sum accumulates into an explicit VMEM scratch
+    (``acc``) statement by statement — a functional `acc = acc + ...`
+    chain made Mosaic stack-allocate every unrolled temporary at once
+    and blew the 16 MB scoped-vmem limit at (128, 40x40)."""
     HW = H * W
     db = 2 * W + 2
     if x_ref.dtype == jnp.int8:
@@ -81,7 +222,7 @@ def _dw5_kernel(x_ref, w_ref, b_ref, y_ref, slab, *, TC, H, W, act,
     slab[:, pl.ds(db, HW)] = vals
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, HW), 1) % W
-    acc = jnp.zeros((TC, HW), jnp.float32)
+    acc[:, :] = jnp.zeros((TC, HW), jnp.float32)
     for u in range(5):
         for v in range(5):
             dv = v - 2
@@ -90,8 +231,8 @@ def _dw5_kernel(x_ref, w_ref, b_ref, y_ref, slab, *, TC, H, W, act,
                 val = jnp.where(col < -dv, 0.0, val)
             elif dv > 0:
                 val = jnp.where(col >= W - dv, 0.0, val)
-            acc = acc + w_ref[:, u * 5 + v][:, None] * val
-    y = acc + b_ref[:, :]
+            acc[:, :] = acc[:, :] + w_ref[:, u * 5 + v][:, None] * val
+    y = acc[:, :] + b_ref[:, :]
     if act == "silu":
         y = y * jax.nn.sigmoid(y)
     elif act is not None:
@@ -149,6 +290,7 @@ def dwconv5x5_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
         out_shape=jax.ShapeDtypeStruct((B, C, HW), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((TC, slab_lanes), jnp.float32),
+            pltpu.VMEM((TC, HW), jnp.float32),
         ],
         interpret=jax.default_backend() != "tpu",
     )(x, wf, b2)

@@ -124,7 +124,11 @@ def calibrate(model, variables: dict, batches: list[jax.Array],
 
         def interceptor(next_fun, args, kwargs, context):
             m = context.module
-            if isinstance(m, ConvUnit) and context.method_name == "__call__" \
+            # ConvUnit covers every block conv; nn.Conv covers the
+            # detect-head 1x1s (models/heads._head_conv) — their input
+            # scale is what the flat-region RepConv emits at
+            if isinstance(m, (ConvUnit, nn.Conv)) \
+                    and context.method_name == "__call__" \
                     and m.scope is not None:
                 paths.append("/".join(m.scope.path))
                 vals.append(jnp.max(jnp.abs(args[0].astype(jnp.float32))))

@@ -122,3 +122,36 @@ def test_gs_shuffle_flat_matches_nhwc():
     got = neck_flat.gs_shuffle_flat(_flat(x))
     np.testing.assert_array_equal(np.asarray(got),
                                   np.asarray(_flat(gs_shuffle(x))))
+
+
+@pytest.mark.slow
+def test_neck_region_network_parity():
+    """Tiny graph, q8 with the flat neck region ON vs OFF vs plain bf16:
+    the neck region must track the backbone-only q8 path closely and
+    stay within PTQ tolerance of the float deploy output."""
+    import numpy as np
+
+    import rep_yolo_tpu.nn.blocks as B
+    from rep_yolo_tpu.models.model import RepYOLO
+    from rep_yolo_tpu.ops import quant
+
+    model = RepYOLO.from_config("cfg/rep_yolo_tiny_test.yaml")
+    variables = model.init(jax.random.PRNGKey(0), img_size=64)
+    deploy, fused = model.fuse(variables)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    ref = deploy.predict(fused, x)
+    scales = quant.calibrate(deploy, fused, [x])
+    try:
+        B.set_cmajor_deploy("q8", scales, select=lambda c, h, w: True)
+        B.set_neck_q8(False)
+        out_backbone = deploy.predict(fused, x)
+        B.set_neck_q8(True)
+        out_neck = deploy.predict(fused, x)
+    finally:
+        B.set_cmajor_deploy(None)
+        B.set_neck_q8(True)
+    ref = np.asarray(ref, np.float32)
+    a = np.asarray(out_backbone, np.float32)
+    b = np.asarray(out_neck, np.float32)
+    assert np.corrcoef(b.ravel(), ref.ravel())[0, 1] > 0.99
+    assert np.corrcoef(b.ravel(), a.ravel())[0, 1] > 0.99

@@ -42,7 +42,10 @@ def flagship():
 
     def interceptor(next_fun, args, kwargs, context):
         m = context.module
-        if (isinstance(m, ConvUnit) and context.method_name == "__call__"
+        # ConvUnit + nn.Conv — the same coverage quant.calibrate records
+        # (nn.Conv = the IDetect head 1x1s the neck region emits into)
+        if (isinstance(m, (ConvUnit, nn.Conv))
+                and context.method_name == "__call__"
                 and m.scope is not None):
             paths.append("/".join(m.scope.path))
         return next_fun(*args, **kwargs)
@@ -101,3 +104,54 @@ def test_missing_scale_warns_not_silent(flagship, caplog):
                for r in caplog.records), [r.message for r in caplog.records]
     # and the plan visibly shows l1 exiting instead of chaining into l3
     assert "st1(l3)" not in plan[1], plan[1]
+
+
+def test_flagship_neck_region_plan(flagship):
+    """Round-5 flat int8 neck region: the whole post-backbone graph runs
+    in-region, with NHWC exits only at the 6 CA/CCVA/ADD attention
+    sandwiches and re-entry quantizes after each island."""
+    plan = _plan_with(flagship, flagship[3])
+    # SPPCSPC enters the region from l8's NHWC output
+    assert plan[9].startswith("neck entry quantize"), plan.get(9)
+    assert "in-region SPPCSPC" in plan[9]
+    # FPN/PAN spans stay flat: GSConv/VoVGSCSP/Upsample/Concat/MP
+    for i in (10, 14, 15, 24, 31, 32, 33, 40, 47, 48, 49, 56):
+        assert "in-region" in plan.get(i, ""), (i, plan.get(i))
+    for i in (11, 16):
+        assert plan.get(i) == "in-region flat upsample", plan.get(i)
+    for i in (13, 18, 34, 50):
+        assert plan.get(i) == "in-region concat (unmaterialized)", plan.get(i)
+    for i in (30, 46):
+        assert "in-region" in plan.get(i, "") and "pool" in plan[i], plan.get(i)
+    # sandwich-entry convs exit NHWC for the bf16 attention islands
+    for i in (19, 25, 35, 41, 51, 57):
+        assert plan.get(i, "").endswith("NHWC exit"), (i, plan.get(i))
+    # post-island convs re-enter with a quantize
+    for i in (23, 29, 39, 45, 55, 61):
+        assert plan.get(i, "").startswith("neck entry quantize"), (i, plan.get(i))
+    # RepConv heads run flat and emit int8 at the IDetect conv scales
+    for i in (62, 63, 64):
+        assert plan.get(i) == "in-region RepConv -> int8", plan.get(i)
+
+
+def test_neck_region_off_flag(flagship):
+    """set_neck_q8(False) reverts to the round-4 backbone-only region."""
+    try:
+        B.set_neck_q8(False)
+        plan = _plan_with(flagship, flagship[3])
+    finally:
+        B.set_neck_q8(True)
+    assert not any("neck" in d or "in-region SPPCSPC" in d
+                   for d in plan.values()), plan
+    # backbone region unaffected
+    assert plan[0].startswith("region entry"), plan[0]
+
+
+def test_neck_missing_head_scale_degrades_gracefully(flagship):
+    """A missing IDetect conv scale must only cost the RepConv exit
+    (NHWC), never break the forward."""
+    scales = {k: v for k, v in flagship[3].items()
+              if not k.startswith("l65/m_")}
+    plan = _plan_with(flagship, scales)
+    for i in (62, 63, 64):
+        assert plan.get(i, "").endswith("NHWC exit"), (i, plan.get(i))
