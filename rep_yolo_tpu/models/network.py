@@ -472,7 +472,8 @@ class DetectionNet(nn.Module):
                         d = max_pool_cm(t.data.reshape(bsz, c, t.h, t.w))
                         d = d.reshape(bsz, c, (t.h // 2) * (t.w // 2))
                         plan[spec.i] = "in-region pool via max_pool_cm (neck)"
-                    y = nf.FlatT(d, t.scale, t.h // 2, t.w // 2)
+                    y = nf.FlatT(d, t.scale, t.h // 2, t.w // 2,
+                                 perm=t.perm)
                 elif q8_region and j in pooled:
                     # the producing DER's cv1 already emitted the pooled
                     # map (cm_pool fusion) — this MP is an identity
@@ -509,7 +510,8 @@ class DetectionNet(nn.Module):
             elif n in ("nn.Upsample", "Upsample"):
                 if neck and isinstance(inp, nf.FlatT):
                     y = nf.FlatT(nf.upsample2x_flat(inp.data, inp.h, inp.w),
-                                 inp.scale, inp.h * 2, inp.w * 2)
+                                 inp.scale, inp.h * 2, inp.w * 2,
+                                 perm=inp.perm)
                     plan[spec.i] = "in-region flat upsample"
                 else:
                     y = B.upsample2x_nearest(inp)

@@ -57,16 +57,26 @@ _NEG = -1e9  # max-identity for f32 compute over int8 values
 class FlatT:
     """A flat-region activation: ``data`` is (B, C, H*W) int8 row-major;
     ``scale`` is the dequant scale — a python float, or a per-channel
-    numpy vector of length C (produced by concats of sections quantized
-    at different scales; consumers fold it into their weight rows at
-    trace time, which is how the region stays exact across concat
-    boundaries without a rescale op). Static metadata only — never
-    traced."""
+    numpy vector of length C aligned with ``data``'s channel order
+    (produced by concats of sections quantized at different scales;
+    consumers fold it into their weight rows at trace time, which is
+    how the region stays exact across concat boundaries without a
+    rescale op).
+
+    ``perm`` (optional) is a logical->physical channel map: the tensor's
+    LOGICAL channel c lives at ``data[:, perm[c]]``. The GSConv channel
+    shuffle (reference models/common.py:3819-3825) sets it instead of
+    moving bytes — consumers fold the permutation into their weight
+    rows (a conv is invariant to a matched input-channel reorder), so
+    the shuffle costs literally nothing in the int8 region (the eager
+    sublane-gather version billed ~0.3 ms/GSConv of copies). Scale and
+    perm are static metadata only — never traced."""
 
     data: jax.Array
     scale: float | np.ndarray
     h: int
     w: int
+    perm: np.ndarray | None = None
 
     @property
     def c(self) -> int:
@@ -106,7 +116,8 @@ def quantize_to_flat(x_nhwc: jax.Array, s: float, h: int, w: int) -> FlatT:
 
 def flat_to_nhwc(x) -> jax.Array:
     """Dequantize + relayout a FlatT (or unmaterialized concat) for an
-    NHWC bf16 consumer (region exit)."""
+    NHWC bf16 consumer (region exit). A pending channel permutation is
+    applied here (the only place the shuffle ever moves bytes)."""
     if isinstance(x, (list, tuple)):
         return jnp.concatenate([flat_to_nhwc(t) for t in x], axis=-1)
     sv = x.scale_vec()
@@ -115,8 +126,20 @@ def flat_to_nhwc(x) -> jax.Array:
     else:
         out = x.data.astype(jnp.bfloat16) * jnp.asarray(
             sv, jnp.bfloat16)[None, :, None]
+    if x.perm is not None:
+        out = jnp.take(out, jnp.asarray(x.perm), axis=1)
     b, c = x.data.shape[:2]
     return jnp.transpose(out.reshape(b, c, x.h, x.w), (0, 2, 3, 1))
+
+
+def materialize_perm(t: FlatT) -> FlatT:
+    """Apply a pending channel permutation to the bytes (needed only by
+    per-channel ops that cannot fold it — the depthwise kernel)."""
+    if t.perm is None:
+        return t
+    p = jnp.asarray(t.perm)
+    return FlatT(jnp.take(t.data, p, axis=1), t.scale_vec()[t.perm],
+                 t.h, t.w)
 
 
 def bf16_flat_to_nhwc(y: jax.Array, h: int, w: int) -> jax.Array:
@@ -134,12 +157,22 @@ def quantize_flat_bf16(y: jax.Array, s: float, h: int, w: int) -> FlatT:
     return FlatT(q, float(s), h, w)
 
 
-def _fold(kern: jax.Array, sv: np.ndarray) -> jax.Array:
-    """Fold per-input-channel dequant scales into an HWIO kernel so the
-    int8 dot can run with s_in = 1 (the DER cv1 concat trick,
-    generalized per-channel)."""
-    return kern.astype(jnp.float32) * jnp.asarray(
-        sv, jnp.float32)[None, None, :, None]
+def _fold(kern: jax.Array, t: FlatT) -> jax.Array:
+    """Fold a FlatT's per-input-channel dequant scales AND pending
+    channel permutation into an HWIO kernel so the int8 dot runs with
+    s_in = 1 on the raw physical data (the DER cv1 concat trick,
+    generalized per-channel + per-permutation):
+
+        y = sum_c w[c] * x_logical[c]
+          = sum_j (w[inv_perm[j]] * scale[j]) * data[j]
+    """
+    kf = kern.astype(jnp.float32)
+    if t.perm is not None:
+        inv = np.empty_like(t.perm)
+        inv[t.perm] = np.arange(len(t.perm))
+        kf = jnp.take(kf, jnp.asarray(inv), axis=2)
+    return kf * jnp.asarray(t.scale_vec(), jnp.float32)[None, None, :,
+                                                        None]
 
 
 def flat_conv(x, kern: jax.Array, bias: jax.Array, k: int, s: int, g: int,
@@ -157,24 +190,30 @@ def flat_conv(x, kern: jax.Array, bias: jax.Array, k: int, s: int, g: int,
         bias = jnp.zeros((O,), jnp.float32)
     if isinstance(x, (list, tuple)):
         assert k == 1 and s == 1 and g == 1, (k, s, g)
-        sv = np.concatenate([t.scale_vec() for t in x])
-        y = conv1x1_flat_q8([t.data for t in x], _fold(kern, sv), bias,
+        off, folded = 0, []
+        for t in x:
+            folded.append(_fold(kern[:, :, off:off + t.c], t))
+            off += t.c
+        y = conv1x1_flat_q8([t.data for t in x],
+                            jnp.concatenate(folded, axis=2), bias,
                             1.0, act=act, out_scale=out_scale)
     elif k == 1:
         assert s == 1 and g == 1, (k, s, g)
-        y = conv1x1_flat_q8(x.data, _fold(kern, x.scale_vec()), bias,
+        y = conv1x1_flat_q8(x.data, _fold(kern, x), bias,
                             1.0, act=act, out_scale=out_scale)
     elif k == 5 and g == x.c and O == x.c:
         # depthwise: per-channel scale folds into the (5,5,1,C) kernel
+        # (a pending permutation cannot fold channel-wise: materialize)
+        x = materialize_perm(x)
         kf = kern.astype(jnp.float32) * jnp.asarray(
             x.scale_vec(), jnp.float32)[None, None, None, :]
         y = dwconv5x5_flat_q8(x.data, kf, bias, 1.0, h, w, act=act,
                               out_scale=out_scale)
     elif k == 3 and g == 1 and s == 1:
-        y = conv3x3_flat_q8(x.data, _fold(kern, x.scale_vec()), bias,
+        y = conv3x3_flat_q8(x.data, _fold(kern, x), bias,
                             1.0, h, w, act=act, out_scale=out_scale)
     elif k == 3 and g == 1 and s == 2:
-        y = conv3x3s2_flat_q8(x.data, _fold(kern, x.scale_vec()), bias,
+        y = conv3x3s2_flat_q8(x.data, _fold(kern, x), bias,
                               1.0, h, w, act=act, out_scale=out_scale)
         h, w = h // 2, w // 2
     else:
@@ -199,18 +238,24 @@ def _pick_tc(C: int, slab_lanes: int, bytes_per_lane: int = 12,
     return 1
 
 
-def _dw5_kernel(x_ref, w_ref, b_ref, y_ref, slab, acc, *, TC, H, W, act,
-                s_in, out_scale, out_dtype):
+def _dw5_kernel(x_ref, w_ref, b_ref, y_ref, slab, acc, *, TC, H, W,
+                act, s_in, out_scale, out_dtype):
     """Whole-image depthwise 5x5 program for one (batch, channel-tile).
 
-    slab: (TC, 2W + H*W + 2W + pad) f32 — the dequantized (integer-
-    valued) image with 2 zero halo rows on each side; taps are plain
+    slab: (TC, 2W + H*W + 2W + pad) f32 — the image contiguous in the
+    flat layout with 2 zero halo rows each side; taps are whole-extent
     lane-shifted slices with an iota mask killing the columns that wrap
-    across row seams in the flat layout (same idiom as conv_flat's
-    im2col). The 25-tap sum accumulates into an explicit VMEM scratch
-    (``acc``) statement by statement — a functional `acc = acc + ...`
-    chain made Mosaic stack-allocate every unrolled temporary at once
-    and blew the 16 MB scoped-vmem limit at (128, 40x40)."""
+    across row seams (conv_flat's im2col idiom). A strided-row variant
+    (zero gutters between rows, per-row writes, no masks) MEASURED
+    SLOWER on hardware (l17 dw 0.86 -> 1.41 ms): the H small unaligned
+    (TC, W) vector writes are latency-bound and cost more than the 20
+    masked selects they remove — keep everything whole-extent.
+
+    Accumulation: functional within each kernel row (4 live
+    temporaries), one ``acc`` scratch RMW per row — 5 RMW passes
+    instead of 25 (the per-tap-RMW version tripled VPU traffic; the
+    fully functional version blew Mosaic's 16 MB scoped stack at
+    (128, 40x40))."""
     HW = H * W
     db = 2 * W + 2
     if x_ref.dtype == jnp.int8:
@@ -222,16 +267,25 @@ def _dw5_kernel(x_ref, w_ref, b_ref, y_ref, slab, acc, *, TC, H, W, act,
     slab[:, pl.ds(db, HW)] = vals
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, HW), 1) % W
-    acc[:, :] = jnp.zeros((TC, HW), jnp.float32)
+    # hoisted wrap masks (reused across the 5 kernel rows): as 0/1 f32
+    # multiplicands — a multiply fuses into the FMA chain where a
+    # vselect is an extra op per tap
+    edge = {dv: jnp.where((col < -dv) if dv < 0 else (col >= W - dv),
+                          0.0, 1.0)
+            for dv in (-2, -1, 1, 2)}
     for u in range(5):
+        row = None
         for v in range(5):
             dv = v - 2
             val = slab[:, pl.ds(db + (u - 2) * W + dv, HW)]
-            if dv < 0:
-                val = jnp.where(col < -dv, 0.0, val)
-            elif dv > 0:
-                val = jnp.where(col >= W - dv, 0.0, val)
-            acc[:, :] = acc[:, :] + w_ref[:, u * 5 + v][:, None] * val
+            wv = w_ref[:, u * 5 + v][:, None]
+            t = (wv * val if dv == 0
+                 else (wv * val) * edge[dv])
+            row = t if row is None else row + t
+        if u == 0:
+            acc[:, :] = row
+        else:
+            acc[:, :] = acc[:, :] + row
     y = acc[:, :] + b_ref[:, :]
     if act == "silu":
         y = y * jax.nn.sigmoid(y)
@@ -273,7 +327,11 @@ def dwconv5x5_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
     b2 = bias.reshape(C, 1).astype(jnp.float32)
 
     slab_lanes = H * W + 4 * W + 128
-    TC = _pick_tc(C, slab_lanes)
+    # stack per program ~= slab + acc + ~5 live row temporaries; the
+    # 16 MB scoped-vmem limit allows a generous tile, and fewer grid
+    # programs amortize per-program overhead (TC=16 at 80x80 measured
+    # ~4.7 us of overhead per 2 us of compute)
+    TC = _pick_tc(C, slab_lanes, bytes_per_lane=30, budget=8 << 20)
     out_dtype = jnp.int8 if out_scale is not None else jnp.bfloat16
     kernel = functools.partial(
         _dw5_kernel, TC=TC, H=H, W=W, act=act, s_in=float(s_in),
@@ -296,24 +354,30 @@ def dwconv5x5_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
     )(x, wf, b2)
 
 
-def _spp_kernel(x_ref, y_ref, slab, *, C, H, W):
+def _spp_kernel(x_ref, y_ref, slab, slab2, *, C, H, W):
     """One batch program: emit [x, p5, p9, p13] (4C, H*W) by three
     chained separable 5-window max passes (max-pool composition:
     5∘5 = 9, 9∘5 = 13). All compute in f32 (exact for int8 values;
-    Mosaic has no int8 vector max on this target)."""
+    Mosaic has no int8 vector max on this target).
+
+    Contiguous flat layout with 2 -inf halo rows each side, filled
+    ONCE (the data region overwrite never touches them). Horizontal
+    shifts mask the wrap columns with the iota idiom; vertical shifts
+    move whole rows — halo rows are -inf, no mask needed. A
+    strided-row-gutter variant with per-row writes MEASURED SLOWER
+    (0.50 -> 0.82 ms at b32: latency-bound small vector writes)."""
     HW = H * W
     db = 2 * W + 2
     col = jax.lax.broadcasted_iota(jnp.int32, (1, HW), 1) % W
 
-    cur = x_ref[0].astype(jnp.float32)
     y_ref[0, pl.ds(0, C), :] = x_ref[0]
+    slab[:, :] = jnp.full(slab.shape, _NEG, jnp.float32)
+    slab2[:, :] = jnp.full(slab2.shape, _NEG, jnp.float32)
+    slab[:, pl.ds(db, HW)] = x_ref[0].astype(jnp.float32)
 
     for sec in range(1, 4):
-        # load cur into the halo'd slab (halo rows = -inf, max-neutral)
-        slab[:, :] = jnp.full(slab.shape, _NEG, jnp.float32)
-        slab[:, pl.ds(db, HW)] = cur
-        # horizontal 5-window max (mask cols that wrap across rows)
-        m = cur
+        # horizontal 5-window max (wrap columns masked to -inf)
+        m = slab[:, pl.ds(db, HW)]
         for dv in (-2, -1, 1, 2):
             val = slab[:, pl.ds(db + dv, HW)]
             if dv < 0:
@@ -321,14 +385,14 @@ def _spp_kernel(x_ref, y_ref, slab, *, C, H, W):
             else:
                 val = jnp.where(col >= W - dv, _NEG, val)
             m = jnp.maximum(m, val)
-        # vertical 5-window max over the row-pass result
-        slab[:, :] = jnp.full(slab.shape, _NEG, jnp.float32)
-        slab[:, pl.ds(db, HW)] = m
+        slab2[:, pl.ds(db, HW)] = m
+        # vertical 5-window max: whole-row shifts, halos are -inf
         out = m
         for du in (-2, -1, 1, 2):
-            out = jnp.maximum(out, slab[:, pl.ds(db + du * W, HW)])
-        cur = out
+            out = jnp.maximum(out, slab2[:, pl.ds(db + du * W, HW)])
         y_ref[0, pl.ds(sec * C, C), :] = out.astype(x_ref.dtype)
+        if sec < 3:
+            slab[:, pl.ds(db, HW)] = out   # chain: 5∘5 = 9, 9∘5 = 13
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W"))
@@ -350,6 +414,7 @@ def spp_pools_flat(x: jax.Array, H: int, W: int) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((B, 4 * C, HW), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((C, slab_lanes), jnp.float32),
+            pltpu.VMEM((C, slab_lanes), jnp.float32),
         ],
         interpret=jax.default_backend() != "tpu",
     )(x)
@@ -369,8 +434,11 @@ def conv3x3s2_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
     assert HW == H * W and H % 2 == 0 and W % 2 == 0, (x.shape, H, W)
     O = w.shape[-1]
     H2, W2 = H // 2, W // 2
-    xs = x.reshape(B, C, H2, 2, W2, 2)
-    xs = jnp.transpose(xs, (0, 3, 5, 1, 2, 4)).reshape(B, 4 * C, H2 * W2)
+    # phase-slice s2d (stem_glue_bench: the 6D reshape+transpose lowers
+    # to serial ~7 GB/s copies; ReOrg-style slices measured 1.5x faster)
+    x4 = x.reshape(B, C, H, W)
+    phases = [x4[:, :, ph::2, qw::2] for ph in (0, 1) for qw in (0, 1)]
+    xs = jnp.stack(phases, axis=1).reshape(B, 4 * C, H2 * W2)
     CP = -(-4 * C // 8) * 8
     if CP > 4 * C:
         xs = jnp.pad(xs, ((0, 0), (0, CP - 4 * C), (0, 0)))
