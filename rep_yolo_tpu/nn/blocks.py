@@ -277,6 +277,25 @@ def set_pallas_wgrad(enable: bool, select=None) -> None:
 # the off-diagonal taps contribute 0.0 to the accumulator.
 DENSE_GROUPED_MAX_C1 = 64
 
+# How the stem fast path space-to-depths the quantized image before its
+# fused flat conv (read at trace time). "6d" = one 6D reshape+transpose;
+# "phase" = four strided slices (ReOrg-style). stem_glue_bench's
+# isolated chain favored "phase" (3.70 -> 2.41 ms), but in the full b32
+# q8 graph XLA lowers the strided slices to four 1.0 ms s32-index
+# gather fusions (round-5 trace: l0 3.1 -> 7.6 ms); the interleaved
+# end-to-end A/B (ab_flag stem_s2d, b32 q8) measured phase a REAL
+# +4.30 ms loss, control noise 0.09 — the default follows the graph.
+STEM_S2D_MODE = "6d"
+
+
+def set_stem_s2d(mode: str) -> None:
+    """Select the stem s2d formulation ("phase" | "6d"). Trace-time flag
+    (same contract as set_dense_grouped): set BEFORE the first traced
+    forward; already-jitted functions keep their cached computation."""
+    global STEM_S2D_MODE
+    assert mode in ("phase", "6d"), mode
+    STEM_S2D_MODE = mode
+
 
 def set_dense_grouped(max_c1: int) -> None:
     """Channel-width gate for the block-diagonal dense rewrite of grouped
@@ -710,15 +729,19 @@ class RepSBlock(nn.Module):
         # barrier: keep the cheap int8 relayout below the quantize
         # (same hoisting hazard as DERBlock's entry, measured there)
         xq = jax.lax.optimization_barrier(xq)
-        # s2d via ReOrg-style phase slices: measured 1.3 ms faster at
-        # b32 than the 6D reshape+transpose (tools/stem_glue_bench.py:
-        # 3.70 -> 2.41 ms for the full entry chain; the 6D transpose
-        # lowered to two serial copies at ~7 GB/s). Channel order stays
-        # (phase-block, C) — the weight embedding below matches.
-        phases = [xq[:, ph::2, qw::2, :] for ph in (0, 1) for qw in (0, 1)]
-        xs = jnp.stack(phases, axis=1)              # (B, 4, H2, W2, C)
-        xs = jnp.transpose(xs, (0, 1, 4, 2, 3)).reshape(bn, 4 * C,
-                                                        H2 * W2)
+        # Channel order stays (phase-block, C) either way — the weight
+        # embedding below matches. See STEM_S2D_MODE for why both
+        # formulations are kept.
+        if STEM_S2D_MODE == "phase":
+            phases = [xq[:, ph::2, qw::2, :]
+                      for ph in (0, 1) for qw in (0, 1)]
+            xs = jnp.stack(phases, axis=1)          # (B, 4, H2, W2, C)
+            xs = jnp.transpose(xs, (0, 1, 4, 2, 3)).reshape(bn, 4 * C,
+                                                            H2 * W2)
+        else:
+            xs = xq.reshape(bn, H2, 2, W2, 2, C)
+            xs = jnp.transpose(xs, (0, 2, 4, 5, 1, 3)).reshape(bn, 4 * C,
+                                                               H2 * W2)
         # the flat kernel's slab DMA slices the channel dim, which must
         # sit on whole sublane tiles: pad 4*C=12 -> 16 with zero channels
         # (and zero weight rows below) — exact

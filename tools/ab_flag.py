@@ -36,6 +36,9 @@ FLAGS = {
     # name -> (set_off, set_on)
     "dense_grouped": (lambda: blocks_lib.set_dense_grouped(0),
                       lambda: blocks_lib.set_dense_grouped(64)),
+    # A = 6D reshape+transpose s2d, B = ReOrg-style phase slices
+    "stem_s2d": (lambda: blocks_lib.set_stem_s2d("6d"),
+                 lambda: blocks_lib.set_stem_s2d("phase")),
 }
 
 
@@ -97,15 +100,20 @@ def main():
         c1_max = args.der_max_c1
         blocks_lib.set_cmajor_deploy(args.der_fast, scales,
                                      select=lambda c1, h, w: c1 <= c1_max)
+        if args.der_fast == "q8" and args.flag != "dense_grouped":
+            # match bench.py's q8 serving mode (round-5 A/B)
+            blocks_lib.set_dense_grouped(0)
 
     set_off, set_on = FLAGS[args.flag]
-    orig = blocks_lib.DENSE_GROUPED_MAX_C1
+    orig_dense = blocks_lib.DENSE_GROUPED_MAX_C1
+    orig_stem = blocks_lib.STEM_S2D_MODE
     try:
         loop_a = make_loop(deploy, fused, x, set_off)
         loop_b = make_loop(deploy, fused, x, set_on)
         loop_c = make_loop(deploy, fused, x, set_off)   # negative control
     finally:
-        blocks_lib.set_dense_grouped(orig)
+        blocks_lib.set_dense_grouped(orig_dense)
+        blocks_lib.set_stem_s2d(orig_stem)
 
     for lp in (loop_a, loop_b, loop_c):   # warm all three
         timed(lp, fused, x, ITERS)
