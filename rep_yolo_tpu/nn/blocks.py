@@ -186,18 +186,20 @@ def set_cmajor_deploy(mode: str | None, scales: dict[str, float] | None = None,
     """Enable the DER deploy fast path. `scales`: ops/quant.calibrate
     output ({ConvUnit scope path: act scale}), required for the q8 modes.
     `select(c1, h, w) -> bool` limits which DER blocks use it (default:
-    c1 <= 128 — the round-4 gate sweep on the flagship at 640px b32
-    measured 64 -> 578, 128 -> 597, 512 -> 586 img/s: l5 (c1=128 @80x80)
-    wins in-region, l7's 3x3 256->256 @40x40 loses, matching the
-    BASELINE.md PTQ probe table)."""
+    c1 <= 512 = the whole backbone. The round-4 gate sweep measured 512
+    a loss vs 128 — l7's 3x3 256->256 @40x40 loses int8 per the PTQ
+    probe table — but once the NECK runs in-region too (round 5),
+    keeping l7 in-region deletes the l7-exit + l9-entry relayout pair
+    and the interleaved A/B flipped: 512 is a -0.23 ms REAL win
+    (ab_flag deep_gate, BASELINE.md round-5)."""
     global CMAJOR_DEPLOY, CMAJOR_SCALES, _CMAJOR_SELECT
     assert mode in (None, "q8", "xla_q8", "bf16"), mode
     CMAJOR_DEPLOY = mode
     CMAJOR_SCALES = dict(scales or {})
-    _CMAJOR_SELECT = select or (lambda c1, h, w: c1 <= 128)
+    _CMAJOR_SELECT = select or (lambda c1, h, w: c1 <= 512)
 
 
-_CMAJOR_SELECT = lambda c1, h, w: c1 <= 128
+_CMAJOR_SELECT = lambda c1, h, w: c1 <= 512
 
 # Trace-time flag: fold a sole-consumer trailing MP into the DER cv1
 # kernel's epilogue inside the q8 region (conv_flat.conv1x1_flat_q8

@@ -51,26 +51,28 @@ from rep_yolo_tpu.ops.pallas.conv_kernel import (
 _PAD = 128
 
 
-def _data_base(W: int) -> int:
-    """Slab lane where the tile's halo row (abs row i*TH-1) starts.
+def _data_base(W: int, halo: int = 1) -> int:
+    """Slab lane where the tile's first halo row (abs row i*TH-halo)
+    starts.
 
     Mosaic requires DMA slices on tiled refs to be 128-lane aligned. The
-    raw source start (i*TH-1)*W has residue (-W) % 128 — CONSTANT across
-    tiles because pick_row_tile guarantees (TH*W) % 128 == 0 — so every
-    branch below widens its copy to the enclosing aligned window and the
-    kernel reads data at this fixed unaligned base instead."""
-    return _PAD + (-W) % 128
+    raw source start (i*TH-halo)*W has residue (-halo*W) % 128 — CONSTANT
+    across tiles because pick_row_tile guarantees (TH*W) % 128 == 0 — so
+    every branch below widens its copy to the enclosing aligned window
+    and the kernel reads data at this fixed unaligned base instead."""
+    return _PAD + (-halo * W) % 128
 
 
-def _slab_dma(x_ref, slab, sem, b, i, *, C, TH, W, H, wait: bool):
+def _slab_dma(x_ref, slab, sem, b, i, *, C, TH, W, H, wait: bool,
+              halo: int = 1):
     """Start (wait=False) or wait on (wait=True) the aligned slab DMA of
-    rows [i*TH-1, i*TH+TH] into slab lanes [_data_base,
-    _data_base+(TH+2)*W). The wait side reconstructs the IDENTICAL
+    rows [i*TH-halo, i*TH+TH+halo) into slab lanes [_data_base,
+    _data_base+(TH+2*halo)*W). The wait side reconstructs the IDENTICAL
     descriptor (same (b, i) -> same pl.when case -> same static size),
     which is the Pallas idiom for cross-grid-step async copies. All DMA
     starts/sizes are 128-lane aligned by construction (see _data_base)."""
     n_tiles = H // TH
-    off = (-W) % 128
+    off = (-halo * W) % 128
     db = _PAD + off
 
     def copy(src_lane0, size, dst_lane0):
@@ -80,62 +82,69 @@ def _slab_dma(x_ref, slab, sem, b, i, *, C, TH, W, H, wait: bool):
         cp.wait() if wait else cp.start()
 
     if n_tiles == 1:
-        # image rows 0..TH-1 land at tile rows 1..TH; src start 0 and
-        # size TH*W are aligned; dst db+W is aligned (off+W = rnd128(W))
-        copy(0, TH * W, db + W)
+        # image rows 0..TH-1 land at tile rows halo..TH+halo-1; src start
+        # 0 and size TH*W are aligned; dst db+halo*W is aligned
+        # (off + halo*W = rnd128(halo*W))
+        copy(0, TH * W, db + halo * W)
         return
 
     @pl.when(i == 0)
     def _first():
-        copy(0, _round_up((TH + 1) * W, 128), db + W)
+        copy(0, _round_up((TH + halo) * W, 128), db + halo * W)
 
-    # src start (i*TH-1)*W - off as an explicit multiple of 128 so
+    # src start (i*TH-halo)*W - off as an explicit multiple of 128 so
     # Mosaic's divisibility prover accepts the dynamic slice offset
-    # ((TH*W) % 128 == 0 and (W+off) % 128 == 0 make it exact)
+    # ((TH*W) % 128 == 0 and (halo*W+off) % 128 == 0 make it exact)
     def src0(idx):
-        return (idx * (TH * W // 128) - (W + off) // 128) * 128
+        return (idx * (TH * W // 128) - (halo * W + off) // 128) * 128
 
     @pl.when(i == n_tiles - 1)
     def _last():
-        # exactly (TH+1)*W + off lanes: ends at H*W — aligned, no overrun
-        copy(src0(i), (TH + 1) * W + off, _PAD)
+        # exactly (TH+halo)*W + off lanes: ends at H*W — aligned, no
+        # overrun
+        copy(src0(i), (TH + halo) * W + off, _PAD)
 
     @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
     def _interior():
-        copy(src0(i), _round_up((TH + 2) * W + off, 128), _PAD)
+        copy(src0(i), _round_up((TH + 2 * halo) * W + off, 128), _PAD)
 
 
-def _zero_halo(slab, i, *, C, TH, W, H):
+def _zero_halo(slab, i, *, C, TH, W, H, halo: int = 1):
     """Memset the missing halo row(s) of edge tiles. Disjoint from every
     DMA destination range of the same tile, so it is safe to run while
     that tile's slab DMA is in flight."""
     n_tiles = H // TH
-    db = _data_base(W)
+    db = _data_base(W, halo)
 
     def zero_row(r):
         slab[:, pl.ds(db + r * W, W)] = jnp.zeros((C, W), slab.dtype)
 
     if n_tiles == 1:
-        zero_row(0)
-        zero_row(TH + 1)
+        for r in range(halo):
+            zero_row(r)
+            zero_row(TH + halo + r)
         return
 
     @pl.when(i == 0)
     def _first():
-        zero_row(0)
+        for r in range(halo):
+            zero_row(r)
 
     @pl.when(i == n_tiles - 1)
     def _last():
-        zero_row(TH + 1)
+        for r in range(halo):
+            zero_row(TH + halo + r)
 
 
-def _load_slab(x_ref, slab, b, i, *, C, TH, W, H):
+def _load_slab(x_ref, slab, b, i, *, C, TH, W, H, halo: int = 1):
     """Synchronous slab load (start + wait in one grid step)."""
-    _zero_halo(slab, i, C=C, TH=TH, W=W, H=H)
+    _zero_halo(slab, i, C=C, TH=TH, W=W, H=H, halo=halo)
 
     def go(sem):
-        _slab_dma(x_ref, slab, sem, b, i, C=C, TH=TH, W=W, H=H, wait=False)
-        _slab_dma(x_ref, slab, sem, b, i, C=C, TH=TH, W=W, H=H, wait=True)
+        _slab_dma(x_ref, slab, sem, b, i, C=C, TH=TH, W=W, H=H,
+                  wait=False, halo=halo)
+        _slab_dma(x_ref, slab, sem, b, i, C=C, TH=TH, W=W, H=H,
+                  wait=True, halo=halo)
 
     pl.run_scoped(go, pltpu.SemaphoreType.DMA(()))
 
@@ -453,6 +462,153 @@ def conv3x3_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
         _conv3_flat_q8_kernel, C=C, O=O, TH=TH, W=W, H=H, act=act,
         s_in=float(s_in), out_scale=out_scale, out_dtype=out_dtype, CP=CP,
         col_chunks=col_chunks)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + w_specs,
+        out_specs=pl.BlockSpec((1, O, TH * W), lambda b, i: (b, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, O, H * W), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM(slab_shape, x.dtype),
+            pltpu.VMEM((KP, TH * W), jnp.int8),
+        ],
+        interpret=interpret,
+    )(x, w_q, s_w, b2)
+
+
+def _im2col_taps5(slab_q, xv, *, C, TH, W, CP):
+    """5x5 version of _im2col_taps: xv[(v*5+u)*CP + c, j] =
+    x_pad[c, h+u-2, w+v-2] for j = h*W + w, from the halo-2 flat slab
+    (row r at lanes _data_base(W, 2) + r*W). Taps with dv != 0 wrap
+    across row seams; the iota mask zeroes the wrapped columns."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, TH * W), 1) % W
+    zero = jnp.zeros((C, TH * W), slab_q.dtype)
+    db = _data_base(W, 2)
+    for u in range(5):
+        for v in range(5):
+            dv = v - 2
+            off = db + u * W + dv
+            val = slab_q[:, off:off + TH * W]
+            if dv < 0:
+                val = jnp.where(col < -dv, zero, val)
+            elif dv > 0:
+                val = jnp.where(col >= W - dv, zero, val)
+            xv[pl.ds((v * 5 + u) * CP, C), :] = val
+
+
+def _tile_interior5(slab_q, xv, w_ref, sw_ref, b_ref, y_ref, *, C, TH, W,
+                    CP, act, s_in, out_scale, out_dtype):
+    _im2col_taps5(slab_q, xv, C=C, TH=TH, W=W, CP=CP)
+    acc = jnp.dot(w_ref[:, :], xv[:, :],
+                  preferred_element_type=jnp.int32)          # (O, TH*W)
+    y_ref[0, :, :] = _q8_epilogue(acc, sw_ref, b_ref, s_in, act,
+                                  out_scale, out_dtype)
+
+
+def _conv5_flat_q8_kernel(x_ref, w_ref, sw_ref, b_ref, y_ref, slab, xv, *,
+                          C, O, TH, W, H, act, s_in, out_scale,
+                          out_dtype, CP):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    _load_slab(x_ref, slab, b, i, C=C, TH=TH, W=W, H=H, halo=2)
+    if slab.dtype == jnp.int8:
+        slab_q = slab[:, :]
+    else:
+        slab_q = jnp.clip(jnp.round(slab[:, :].astype(jnp.float32)
+                                    * (1.0 / s_in)), -127, 127
+                          ).astype(jnp.int8)
+    _tile_interior5(slab_q, xv, w_ref, sw_ref, b_ref, y_ref, C=C, TH=TH,
+                    W=W, CP=CP, act=act, s_in=s_in, out_scale=out_scale,
+                    out_dtype=out_dtype)
+
+
+def _conv5_flat_q8_kernel_whole(x_ref, w_ref, sw_ref, b_ref, y_ref, slab,
+                                xv, *, C, O, TH, W, H, act, s_in,
+                                out_scale, out_dtype, CP):
+    """Whole-image variant (H == TH): VMEM block input, vector-store
+    slab population (no aligned-DMA constraint on small images)."""
+    db = _data_base(W, 2)
+    if x_ref.dtype == jnp.int8:
+        xq = x_ref[0]
+    else:
+        xq = jnp.clip(jnp.round(x_ref[0].astype(jnp.float32)
+                                * (1.0 / s_in)), -127, 127).astype(jnp.int8)
+    zero = jnp.zeros((C, 2 * W), jnp.int8)
+    slab[:, pl.ds(db, 2 * W)] = zero                   # top halo rows
+    slab[:, pl.ds(db + 2 * W, TH * W)] = xq
+    slab[:, pl.ds(db + (TH + 2) * W, 2 * W)] = zero    # bottom halo rows
+    _tile_interior5(slab[:, :], xv, w_ref, sw_ref, b_ref, y_ref, C=C,
+                    TH=TH, W=W, CP=CP, act=act, s_in=s_in,
+                    out_scale=out_scale, out_dtype=out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "s_in", "act",
+                                             "out_scale", "row_tile"))
+def conv5x5_flat_q8(x: jax.Array, w: jax.Array, bias: jax.Array,
+                    s_in: float, H: int, W: int, act: str | None = "silu",
+                    out_scale: float | None = None,
+                    row_tile: int | None = None) -> jax.Array:
+    """Fused int8 5x5 stride-1 SAME conv on a flat (B, C, H*W)
+    activation — the 25-tap, halo-2 sibling of conv3x3_flat_q8.
+
+    Primary use: GSConv's 5x5 depthwise conv (reference
+    models/common.py:3807-3825) embedded as a block-diagonal DENSE
+    kernel so it runs on the MXU. The C-fold MAC inflation is the
+    point: the VPU sliding-window kernel (neck_flat.dwconv5x5_flat_q8)
+    measured ~10x off its compute roofline (round-5 trace: 0.81 ms for
+    64ch@80x80 vs ~0.08 ideal), while the MXU pays the inflated MACs at
+    ~20x the VPU's throughput.
+
+    x: (B, C, H*W) float (quantized in-kernel at `s_in`) or int8;
+    w: (5, 5, C, O) HWIO float; bias: (O,). Returns (B, O, H*W) bf16,
+    or int8 at `out_scale`."""
+    B, C, HW = x.shape
+    assert HW == H * W, (x.shape, H, W)
+    O = w.shape[-1]
+    TH = row_tile or pick_row_tile(H, W)
+    assert H % TH == 0, (H, TH)
+
+    CP = C
+    w25 = jnp.transpose(w, (3, 1, 0, 2)).reshape(O, 25 * CP)  # (O,v,u,C)
+    w_q, s_w = quantize_weights(w25)
+    KP = _round_up(25 * CP, 32)
+    if KP > 25 * CP:
+        w_q = jnp.pad(w_q, ((0, 0), (0, KP - 25 * CP)))
+    b2 = bias.reshape(O, 1).astype(jnp.float32)
+
+    out_dtype = jnp.int8 if out_scale is not None else jnp.bfloat16
+    n_tiles = H // TH
+    whole = n_tiles == 1 and (TH * W) % 128 != 0
+    interpret = jax.default_backend() != "tpu"
+    slab_shape = (C, _data_base(W, 2) + (TH + 4) * W + 256)
+    w_specs = [
+        pl.BlockSpec((O, KP), lambda *g: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((O, 1), lambda *g: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((O, 1), lambda *g: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if whole:
+        kernel = functools.partial(
+            _conv5_flat_q8_kernel_whole, C=C, O=O, TH=TH, W=W, H=H,
+            act=act, s_in=float(s_in), out_scale=out_scale,
+            out_dtype=out_dtype, CP=CP)
+        return pl.pallas_call(
+            kernel,
+            grid=(B, 1),
+            in_specs=[pl.BlockSpec((1, C, H * W), lambda b, i: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)] + w_specs,
+            out_specs=pl.BlockSpec((1, O, TH * W), lambda b, i: (b, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, O, H * W), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM(slab_shape, jnp.int8),
+                pltpu.VMEM((KP, TH * W), jnp.int8),
+            ],
+            interpret=interpret,
+        )(x, w_q, s_w, b2)
+    kernel = functools.partial(
+        _conv5_flat_q8_kernel, C=C, O=O, TH=TH, W=W, H=H, act=act,
+        s_in=float(s_in), out_scale=out_scale, out_dtype=out_dtype, CP=CP)
     return pl.pallas_call(
         kernel,
         grid=(B, n_tiles),

@@ -48,7 +48,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rep_yolo_tpu.ops.pallas.conv_flat import (conv1x1_flat_q8,
-                                               conv3x3_flat_q8)
+                                               conv3x3_flat_q8,
+                                               conv5x5_flat_q8)
+
+# Route GSConv's depthwise 5x5 through the block-diagonal dense MXU
+# kernel (conv5x5_flat_q8) instead of the VPU sliding window
+# (dwconv5x5_flat_q8). Trace-time flag (set before the first traced
+# forward); default decided by the interleaved hardware A/B
+# (tools/ab_flag.py dw5_dense, BASELINE.md round-5).
+DW5_DENSE = True
+
+
+def set_dw5_dense(on: bool) -> None:
+    global DW5_DENSE
+    DW5_DENSE = bool(on)
 
 _NEG = -1e9  # max-identity for f32 compute over int8 values
 
@@ -202,13 +215,30 @@ def flat_conv(x, kern: jax.Array, bias: jax.Array, k: int, s: int, g: int,
         y = conv1x1_flat_q8(x.data, _fold(kern, x), bias,
                             1.0, act=act, out_scale=out_scale)
     elif k == 5 and g == x.c and O == x.c:
-        # depthwise: per-channel scale folds into the (5,5,1,C) kernel
-        # (a pending permutation cannot fold channel-wise: materialize)
-        x = materialize_perm(x)
-        kf = kern.astype(jnp.float32) * jnp.asarray(
-            x.scale_vec(), jnp.float32)[None, None, None, :]
-        y = dwconv5x5_flat_q8(x.data, kf, bias, 1.0, h, w, act=act,
-                              out_scale=out_scale)
+        if DW5_DENSE:
+            # block-diagonal dense embedding -> MXU (conv5x5_flat_q8):
+            # the C-fold MAC inflation runs ~20x faster than the VPU
+            # sliding window (round-5 trace: 0.81 ms at 64ch@80x80 vs a
+            # ~0.08 ms compute roofline), and the pending permutation
+            # folds into the dense kernel like any other conv (no
+            # materialize_perm)
+            # eye-mask multiply, NOT .at[].set(): the scatter defeats
+            # XLA's loop-invariant hoisting and re-ran every serving
+            # iteration (~1.2 ms/iter of f32[C,5,5,C] weight prep in
+            # the round-5 trace); the broadcast-multiply folds
+            kd = (kern[:, :, 0, :].astype(jnp.float32)[:, :, None, :]
+                  * jnp.eye(x.c, O, dtype=jnp.float32)[None, None])
+            y = conv5x5_flat_q8(x.data, _fold(kd, x), bias, 1.0, h, w,
+                                act=act, out_scale=out_scale)
+        else:
+            # depthwise VPU path: per-channel scale folds into the
+            # (5,5,1,C) kernel (a pending permutation cannot fold
+            # channel-wise: materialize)
+            x = materialize_perm(x)
+            kf = kern.astype(jnp.float32) * jnp.asarray(
+                x.scale_vec(), jnp.float32)[None, None, None, :]
+            y = dwconv5x5_flat_q8(x.data, kf, bias, 1.0, h, w, act=act,
+                                  out_scale=out_scale)
     elif k == 3 and g == 1 and s == 1:
         y = conv3x3_flat_q8(x.data, _fold(kern, x), bias,
                             1.0, h, w, act=act, out_scale=out_scale)

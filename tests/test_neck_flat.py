@@ -62,6 +62,52 @@ def test_dwconv5x5_flat_q8(c, h, w):
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("c,o,h,w", [(16, 24, 16, 16), (32, 32, 8, 12)])
+def test_conv5x5_flat_q8(c, o, h, w):
+    """Dense 5x5 kernel parity (tiled-DMA 16x16 and whole-image 8x12
+    paths) + the depthwise block-diagonal embedding it exists for."""
+    from rep_yolo_tpu.ops.pallas.conv_flat import conv5x5_flat_q8
+
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (2, h, w, c), jnp.float32)
+    wk = jax.random.normal(k2, (5, 5, c, o), jnp.float32) * 0.1
+    bias = jax.random.normal(k3, (o,), jnp.float32) * 0.1
+    s_in = float(jnp.max(jnp.abs(x))) / 127.0
+
+    xq = _quant(x, s_in)
+    xd = xq.astype(jnp.float32) * s_in
+    ref = jax.lax.conv_general_dilated(
+        xd, wk, (1, 1), ((2, 2), (2, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+    ref = ref * jax.nn.sigmoid(ref)
+
+    got = conv5x5_flat_q8(_flat(xq), wk, bias, s_in, h, w)
+    np.testing.assert_allclose(np.asarray(_nhwc(got, h, w), np.float32),
+                               np.asarray(ref), rtol=5e-2, atol=5e-2)
+
+    # int8-resident output
+    out_s = float(jnp.max(jnp.abs(ref))) / 127.0
+    got_q = conv5x5_flat_q8(_flat(xq), wk, bias, s_in, h, w,
+                            out_scale=out_s)
+    assert got_q.dtype == jnp.int8
+    np.testing.assert_allclose(
+        np.asarray(_nhwc(got_q, h, w), np.float32) * out_s,
+        np.asarray(ref), atol=out_s + 5e-2)
+
+    # depthwise embedding == the VPU depthwise kernel (same math)
+    wdw = jax.random.normal(k2, (5, 5, 1, c), jnp.float32) * 0.1
+    idx = jnp.arange(c)
+    kd = jnp.zeros((5, 5, c, c), jnp.float32).at[:, :, idx, idx].set(
+        wdw[:, :, 0, :])
+    got_dw = conv5x5_flat_q8(_flat(xq), kd, bias[:c], s_in, h, w)
+    ref_dw = neck_flat.dwconv5x5_flat_q8(_flat(xq), wdw, bias[:c],
+                                         s_in, h, w)
+    np.testing.assert_allclose(np.asarray(got_dw, np.float32),
+                               np.asarray(ref_dw, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+
 def test_spp_pools_flat():
     key = jax.random.PRNGKey(1)
     x = jax.random.normal(key, (2, 20, 20, 32), jnp.float32)

@@ -81,13 +81,14 @@ def test_flagship_region_spans_stem_to_l5(flagship):
     for mp in (2, 4):
         assert plan[mp] in ("in-region flat int8 pool",
                             "MP fused into producer cv1 epilogue"), plan[mp]
-    # l3 chains into l5 (default gate c1 <= 128, round-4 sweep)
+    # l3 chains into l5
     assert "int8 in" in plan[3] and "st1(l5)" in plan[3], plan[3]
-    # l5 consumes int8 and exits NHWC (l7 c1=256 is out of the gate:
-    # its 3x3 256->256 @40x40 int8 measured slower than XLA bf16)
-    assert "int8 in" in plan[5], plan[5]
-    assert "st1(l7)" not in plan[5], plan[5]
-    assert "select gate or calibration declined" in plan.get(7, ""), plan.get(7)
+    # l5 chains into l7: the default gate is the whole backbone
+    # (c1 <= 512) since the round-5 flat neck — keeping l7 in-region
+    # deletes the l7-exit/l9-entry relayout pair and the interleaved
+    # A/B flipped the round-4 verdict (BASELINE.md round-5 deep_gate)
+    assert "int8 in" in plan[5] and "st1(l7)" in plan[5], plan[5]
+    assert "int8 in" in plan.get(7, ""), plan.get(7)
 
 
 def test_missing_scale_warns_not_silent(flagship, caplog):

@@ -39,7 +39,15 @@ FLAGS = {
     # A = 6D reshape+transpose s2d, B = ReOrg-style phase slices
     "stem_s2d": (lambda: blocks_lib.set_stem_s2d("6d"),
                  lambda: blocks_lib.set_stem_s2d("phase")),
+    # A = VPU sliding-window dw5x5, B = block-diag dense MXU dw5x5
+    "dw5_dense": (lambda: _nf().set_dw5_dense(False),
+                  lambda: _nf().set_dw5_dense(True)),
 }
+
+
+def _nf():
+    from rep_yolo_tpu.ops.pallas import neck_flat
+    return neck_flat
 
 
 def make_loop(deploy, fused, x, setter):
@@ -75,11 +83,11 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser("ab_flag")
-    ap.add_argument("flag", choices=sorted(FLAGS))
+    ap.add_argument("flag", choices=sorted(FLAGS) + ["deep_gate"])
     ap.add_argument("batch", nargs="?", type=int, default=32)
     ap.add_argument("--der-fast", default=None,
                     choices=["bf16", "q8", "xla_q8"])
-    ap.add_argument("--der-max-c1", type=int, default=128)
+    ap.add_argument("--der-max-c1", type=int, default=512)
     ap.add_argument("--fused-attn", action="store_true")
     ap.add_argument("--rounds", type=int, default=9)
     args = ap.parse_args()
@@ -104,9 +112,20 @@ def main():
             # match bench.py's q8 serving mode (round-5 A/B)
             blocks_lib.set_dense_grouped(0)
 
-    set_off, set_on = FLAGS[args.flag]
+    if args.flag == "deep_gate":
+        # A = production gate (c1 <= 128), B = whole-backbone (l7 in)
+        def set_off():
+            blocks_lib.set_cmajor_deploy(
+                args.der_fast, scales, select=lambda c1, h, w: c1 <= 128)
+
+        def set_on():
+            blocks_lib.set_cmajor_deploy(
+                args.der_fast, scales, select=lambda c1, h, w: c1 <= 512)
+    else:
+        set_off, set_on = FLAGS[args.flag]
     orig_dense = blocks_lib.DENSE_GROUPED_MAX_C1
     orig_stem = blocks_lib.STEM_S2D_MODE
+    orig_dw5 = _nf().DW5_DENSE
     try:
         loop_a = make_loop(deploy, fused, x, set_off)
         loop_b = make_loop(deploy, fused, x, set_on)
@@ -114,6 +133,7 @@ def main():
     finally:
         blocks_lib.set_dense_grouped(orig_dense)
         blocks_lib.set_stem_s2d(orig_stem)
+        _nf().set_dw5_dense(orig_dw5)
 
     for lp in (loop_a, loop_b, loop_c):   # warm all three
         timed(lp, fused, x, ITERS)

@@ -100,7 +100,7 @@ def main():
                    choices=["bf16", "q8", "xla_q8"],
                    help="DER deploy fast path (blocks.set_cmajor_deploy); "
                         "q8 modes calibrate on one random batch first")
-    p.add_argument("--der-max-c1", type=int, default=128,
+    p.add_argument("--der-max-c1", type=int, default=512,
                    help="channel-width gate for the DER fast path "
                         "(c1 <= this); 512 = whole backbone channel-major")
     p.add_argument("--head-pad", action="store_true",
