@@ -676,11 +676,29 @@ def _conv1_pool_flat_q8_kernel(*refs, n_in, act, s_in, out_scale,
     for k in range(TR):
         r0 = y[:, (2 * k) * W:(2 * k + 1) * W]
         r1 = y[:, (2 * k + 1) * W:(2 * k + 2) * W]
-        m = jnp.maximum(r0, r1)
-        a = jnp.dot(m, se_ref[:, :], preferred_element_type=jnp.float32)
-        b = jnp.dot(m, so_ref[:, :], preferred_element_type=jnp.float32)
-        y_ref[0, :, pl.ds(k * W2, W2)] = _requant(jnp.maximum(a, b),
-                                                  out_scale, out_dtype)
+        # requant BEFORE the lane decimation: round/clip/bf16-cast are
+        # monotone non-decreasing so they commute with max, and the 0/1
+        # selection dots then run at int8/bf16 MXU rate instead of f32
+        # (~1/8 rate; the f32 dots billed ~0.5 ms of l1's cv1 in the
+        # round-5 trace). The dots move the quantized values EXACTLY
+        # (0/1 matrix, widened accumulation) — still bit-identical to
+        # unfused conv -> max_pool2_flat.
+        m = _requant(jnp.maximum(r0, r1), out_scale, out_dtype)
+        if out_dtype == jnp.int8:
+            a = jnp.dot(m, se_ref[:, :], preferred_element_type=jnp.int32)
+            b = jnp.dot(m, so_ref[:, :], preferred_element_type=jnp.int32)
+            # Mosaic does not legalize arith.maxsi on this target (see
+            # pool_flat.py): take the max in f32 — exact for int8-range
+            # values riding in s32 accumulators
+            sel = jnp.maximum(a.astype(jnp.float32),
+                              b.astype(jnp.float32))
+        else:
+            a = jnp.dot(m, se_ref[:, :],
+                        preferred_element_type=jnp.float32)
+            b = jnp.dot(m, so_ref[:, :],
+                        preferred_element_type=jnp.float32)
+            sel = jnp.maximum(a, b)
+        y_ref[0, :, pl.ds(k * W2, W2)] = sel.astype(out_dtype)
 
 
 def pool_fusible(H: int, W: int) -> bool:
@@ -754,7 +772,8 @@ def conv1x1_flat_q8(x, w: jax.Array, bias: jax.Array, s_in: float,
         # output rows per program: a 128-aligned row tile, else the
         # whole image (block dim == array dim is always legal)
         TR = pool_flat._pick_tr(H, W) or H2
-        se, so = (m.astype(jnp.float32) for m in pool_flat._sel_matrices(W))
+        sel_dt = jnp.int8 if out_dtype == jnp.int8 else jnp.bfloat16
+        se, so = (m.astype(sel_dt) for m in pool_flat._sel_matrices(W))
         kernel = functools.partial(
             _conv1_pool_flat_q8_kernel, n_in=len(xs), act=act,
             s_in=float(s_in), out_scale=out_scale, out_dtype=out_dtype,

@@ -91,10 +91,15 @@ def max_pool2_flat(x: jax.Array, H: int, W: int,
     W2, H2 = W // 2, H // 2
 
     # Mosaic on this target legalizes neither arith.maxsi nor int8
-    # vector compares — every elementwise step runs in f32 (exact for
-    # int8 values; same pattern as the conv_flat epilogues) and int8
-    # appears only at the load and the final convert.
-    se, so = (m.astype(jnp.float32) for m in _sel_matrices(W))
+    # vector compares — every elementwise MAX runs in f32 (exact for
+    # int8 values; same pattern as the conv_flat epilogues). The
+    # selection DOTS run at the input dtype's MXU rate when possible:
+    # int8 input -> int8 dot with s32 accumulation (the f32 dots ran at
+    # ~1/8 MXU rate and billed most of the kernel's time in the round-5
+    # trace); values pass through the 0/1 matrix exactly either way.
+    q8 = x.dtype == jnp.int8
+    se, so = (m.astype(jnp.int8 if q8 else jnp.float32)
+              for m in _sel_matrices(W))
 
     def make_kernel(rows: int):
         def kernel(x_ref, se_ref, so_ref, y_ref):
@@ -103,12 +108,20 @@ def max_pool2_flat(x: jax.Array, H: int, W: int,
                 r1 = x_ref[0, :, pl.ds((2 * k + 1) * W, W)].astype(
                     jnp.float32)
                 m = jnp.maximum(r0, r1)
-                a = jnp.dot(m, se_ref[:, :],
-                            preferred_element_type=jnp.float32)
-                b = jnp.dot(m, so_ref[:, :],
-                            preferred_element_type=jnp.float32)
+                if q8:
+                    mq = m.astype(jnp.int8)
+                    a = jnp.dot(mq, se_ref[:, :],
+                                preferred_element_type=jnp.int32)
+                    b = jnp.dot(mq, so_ref[:, :],
+                                preferred_element_type=jnp.int32)
+                else:
+                    a = jnp.dot(m, se_ref[:, :],
+                                preferred_element_type=jnp.float32)
+                    b = jnp.dot(m, so_ref[:, :],
+                                preferred_element_type=jnp.float32)
                 y_ref[0, :, pl.ds(k * W2, W2)] = (
-                    jnp.maximum(a, b).astype(x_ref.dtype))
+                    jnp.maximum(a.astype(jnp.float32),
+                                b.astype(jnp.float32)).astype(x_ref.dtype))
         return kernel
 
     if TR is not None:
