@@ -231,10 +231,13 @@ def _inner() -> None:
 
     # operating points: b128 (throughput sweet spot) and b32 (the
     # north-star target config, BASELINE.json). b128 runs XLA bf16 (the
-    # int8 DER kernels lose there: XLA's big-batch convs amortize
-    # better); b32 additionally runs the calibrated int8-resident Pallas
-    # DER fast path, which wins at small batch (BASELINE.md) — the same
-    # engine-per-operating-point split TRT serving does.
+    # int8 region loses there: measured again round 5 with the WHOLE
+    # graph in-region — 705 img/s q8 vs 837-845 bf16; the flat kernels'
+    # cost is batch-proportional while XLA's big-batch bf16 convs
+    # amortize lane underfill — BASELINE.md round-5 tombstone); b32
+    # additionally runs the calibrated int8-resident Pallas fast path,
+    # which wins at small batch — the same engine-per-operating-point
+    # split TRT serving does.
     loop_bf16 = make_infer_loop()
     img_s_b128 = measure(BATCH, loop_bf16)
     img_s_b32 = measure(32, loop_bf16)

@@ -198,9 +198,17 @@ def _run_training(args, hyp_override=None, name="exp", return_dir=False):
     else:
         ds = DetectionDataset.from_path(args.data, args.img_size, args.nc,
                                         args.max_labels)
-    val_ds = (DetectionDataset.from_path(val_path, args.img_size,
-                                         args.nc, args.max_labels)
-              if val_path else ds)
+    if val_path and str(val_path).startswith("synthetic"):
+        n = int(str(val_path).split(":")[1]) if ":" in str(val_path) else 64
+        # different seed -> truly held-out images
+        val_ds = make_synthetic_dataset(n, args.img_size, args.nc,
+                                        args.max_labels,
+                                        seed=args.seed + 1,
+                                        root=out_dir / "synthetic_val")
+    else:
+        val_ds = (DetectionDataset.from_path(val_path, args.img_size,
+                                             args.nc, args.max_labels)
+                  if val_path else ds)
     if args.cache_images:
         ds.cache_images(args.cache_images)
         if val_ds is not ds:

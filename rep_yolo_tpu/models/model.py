@@ -45,12 +45,16 @@ class RepYOLO:
     @classmethod
     def from_config(cls, cfg: str | dict | ModelConfig, ch: int = 3,
                     nc: int | None = None, anchors=None,
-                    deploy: bool = False, remat: bool = False) -> "RepYOLO":
+                    deploy: bool = False, remat: bool = False,
+                    remat_min_hw: int = 0) -> "RepYOLO":
         """remat: per-block rematerialization for training memory
-        (see DetectionNet docstring); no effect on the param tree."""
+        (see DetectionNet docstring); no effect on the param tree.
+        remat_min_hw: scope remat to blocks whose input maps have at
+        least this many pixels (0 = all blocks)."""
         if not isinstance(cfg, ModelConfig):
             cfg = parse_config(cfg, ch=ch, nc=nc, anchors=anchors)
-        net = DetectionNet(cfg=cfg, deploy=deploy, remat=remat)
+        net = DetectionNet(cfg=cfg, deploy=deploy, remat=remat,
+                           remat_min_hw=remat_min_hw)
         strides = _derive_strides(net, cfg)
         anchors_px = np.asarray(cfg.anchors, dtype=np.float32).reshape(
             cfg.nl, cfg.na, 2)

@@ -216,6 +216,17 @@ def _module_call(mod: nn.Module, x, train: bool):
     return mod(x, train)
 
 
+def _remat_wanted(inp, min_hw: int) -> bool:
+    """Scoped remat predicate: True when any input map's spatial extent
+    (H*W for NHWC arrays) reaches ``min_hw`` pixels (0 = always)."""
+    if not min_hw:
+        return True
+    xs = inp if isinstance(inp, (list, tuple)) else [inp]
+    hw = max((x.shape[1] * x.shape[2] for x in xs
+              if hasattr(x, "shape") and len(x.shape) == 4), default=0)
+    return hw >= min_hw
+
+
 class DetectionNet(nn.Module):
     """The full detection network. Input NHWC float image batch in [0,1];
     output: list of raw head maps (B, H_l, W_l, na, no) per level
@@ -228,11 +239,20 @@ class DetectionNet(nn.Module):
     640px the flagship model trains at ~4x the batch per chip (b32
     OOMs 15.75G HBM by 34G without it). Param tree is unchanged (remat
     is a lifted transform), so checkpoints are interchangeable.
+
+    ``remat_min_hw`` scopes the trade: only blocks whose input spatial
+    extent (H*W) is at least this many pixels are wrapped. Activation
+    memory is dominated by the early high-resolution stages (at P6/1280
+    the l0-l4 maps are 640^2/320^2 while the deep/neck maps are <=
+    160^2, a 16-64x smaller footprint per channel) — rematting the deep
+    blocks buys almost no memory but pays their full recompute FLOPs.
+    0 = remat everything (the round-4 behavior).
     """
 
     cfg: ModelConfig
     deploy: bool = False
     remat: bool = False
+    remat_min_hw: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -625,7 +645,8 @@ class DetectionNet(nn.Module):
                 if is_head and not isinstance(inp, list):
                     inp = [inp]   # single-level head
                 mod = build_module(spec, self.deploy)
-                if self.remat and not is_head:
+                if self.remat and not is_head and \
+                        _remat_wanted(inp, self.remat_min_hw):
                     y = nn.remat(_module_call, static_argnums=(2,))(
                         mod, inp, train)
                 else:

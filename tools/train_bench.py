@@ -40,6 +40,9 @@ def main():
     p.add_argument("--classic", action="store_true",
                    help="classic ComputeLoss instead of simOTA")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat-hw", type=int, default=0,
+                   help="scope remat to blocks with input H*W >= this "
+                        "(0 = all; e.g. 25600 = 160x160+ maps only)")
     p.add_argument("--no-bf16", action="store_true")
     p.add_argument("--max-labels", type=int, default=120)
     p.add_argument("--augment", action="store_true",
@@ -72,7 +75,8 @@ def main():
     from rep_yolo_tpu.train.loss import LossConfig, balance_for
     from rep_yolo_tpu.train.trainer import create_train_state, make_train_step
 
-    model = RepYOLO.from_config(args.cfg, remat=args.remat)
+    model = RepYOLO.from_config(args.cfg, remat=args.remat,
+                                remat_min_hw=args.remat_hw)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         variables = model.init(jax.random.PRNGKey(0), img_size=args.img)
