@@ -60,6 +60,10 @@ def parse_args(argv=None):
     p.add_argument("--resume", default=None)
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--rbg", action="store_true",
+                   help="hardware RBG PRNG for in-step RNG (dropout + "
+                        "augmentation) instead of threefry — faster on "
+                        "TPU; the random stream differs")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() before device "
                         "discovery (multi-process/multi-slice launch; "
@@ -141,6 +145,8 @@ def main(argv=None):
 
 
 def _run_training(args, hyp_override=None, name="exp", return_dir=False):
+    if getattr(args, "rbg", False):
+        jax.config.update("jax_default_prng_impl", "rbg")
     from rep_yolo_tpu.data.augment import AugmentConfig, augment_batch
     from rep_yolo_tpu.data.datasets import (DetectionDataset, Loader,
                                             make_synthetic_dataset)

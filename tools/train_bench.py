@@ -44,6 +44,13 @@ def main():
                    help="scope remat to blocks with input H*W >= this "
                         "(0 = all; e.g. 25600 = 160x160+ maps only)")
     p.add_argument("--no-bf16", action="store_true")
+    p.add_argument("--rbg", action="store_true",
+                   help="hardware RBG PRNG instead of threefry for the "
+                        "in-step RNG (dropout + augmentation): the "
+                        "counter-based threefry lowers to long VPU "
+                        "op chains; TPU RBG is a native instruction. "
+                        "Stream differs (random is random — no "
+                        "reference-parity contract on dropout masks)")
     p.add_argument("--max-labels", type=int, default=120)
     p.add_argument("--augment", action="store_true",
                    help="include the on-device augmentation pipeline "
@@ -64,6 +71,8 @@ def main():
     p.add_argument("--trace", default=None, metavar="DIR")
     args = p.parse_args()
 
+    if args.rbg:
+        jax.config.update("jax_default_prng_impl", "rbg")
     if args.wgrad:
         import rep_yolo_tpu.nn.blocks as blocks_lib
 
