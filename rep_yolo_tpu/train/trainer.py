@@ -137,12 +137,13 @@ def make_train_step(model, loss_cfg: LossConfig, opt_cfg: optim_lib.OptimConfig,
 
     def _fwd_bwd(state: TrainState, images, hw, labels, mask):
         rng, k_aug, k_drop = jax.random.split(state.rng, 3)
-        if fast_dropout:
+        if fast_dropout and jax.random.key_impl(k_drop) != "rbg":
             # dropout mask bits from the TPU hardware RNG (rbg) instead
             # of threefry: the 24 per-stage dropout masks cost 6.5 ms of
             # the l1 block alone at b8 (train-step trace, BASELINE.md).
             # rbg's weaker splitting guarantees are irrelevant for
-            # dropout; the augment stream stays threefry.
+            # dropout; the augment stream stays threefry. (No-op when
+            # the key is already rbg — e.g. the global --rbg flag.)
             k_drop = jax.random.wrap_key_data(
                 jnp.tile(jax.random.key_data(
                     jax.random.wrap_key_data(k_drop)), 2), impl="rbg")
